@@ -1,0 +1,140 @@
+"""Typed configuration for the LFBM5D-TPU pipeline.
+
+Mirrors the reference CLI's per-step parameter blocks (SURVEY.md §2.9): the
+C++ tool takes ~30 positional args with one block of filtering parameters for
+the hard-threshold (HT) step and one for the Wiener step. Here each block is a
+frozen dataclass so it can be used as a static (hashable) argument to jitted
+pipeline builders.
+
+Defaults follow SURVEY.md §2.9/§2.10 (IPOL BM3D lineage):
+  N=16 max similar patches (power of two), n=16 self-similarity search
+  half-window, nDisp small (Lytro ≈2-6), k=8 patch size, p=3 reference-patch
+  step, lambda=2.7 hard threshold, tauMatch 2500 (HT) / 400 (Wiener) on
+  normalized SSD in [0,255]^2 units, Kaiser beta=2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class StepParams:
+    """Parameters for one filtering step (HT or Wiener).
+
+    Attributes:
+      n_sim: max number of similar patches kept per reference patch (N).
+        Must be a power of two; the actual group stack size is truncated to
+        the largest power of two <= the number of candidates passing
+        ``tau_match`` (SURVEY.md §2.10.4).
+      n_search: self-similarity search half-window in the reference SAI (n).
+        Candidates live in the (2n+1)^2 window centered on the ref patch.
+      n_disp: angular/disparity search half-window (nDisp). For every similar
+        patch and every other SAI, the best match is sought in the
+        (2*nDisp+1)^2 window centered at the co-located position.
+      k: patch size (k x k).
+      p: reference-patch grid step; a final row/col is flushed to the image
+        boundary (SURVEY.md §2.10.2).
+      tau_2d: spatial transform on each k x k patch: 'dct' | 'bior'.
+      tau_4d: angular transform across the SAI grid axes: 'dct' | 'id'.
+      tau_5d: transform along the similarity stack: 'haar' | 'hadamard' | 'dct'.
+      tau_match: block-matching threshold on the k^2-normalized SSD
+        ([0,255]-scale pixel units squared).
+      use_sd: use standard-deviation-based aggregation weights instead of the
+        1/(sigma^2 * N_nz) (HT) / 1/(sigma^2 * ||w||^2) (Wiener) weights.
+    """
+
+    n_sim: int = 16
+    n_search: int = 16
+    n_disp: int = 2
+    k: int = 8
+    p: int = 3
+    tau_2d: str = "dct"
+    tau_4d: str = "dct"
+    tau_5d: str = "haar"
+    tau_match: float = 2500.0
+    use_sd: bool = False
+
+    def __post_init__(self):
+        if self.n_sim < 1 or (self.n_sim & (self.n_sim - 1)) != 0:
+            raise ValueError(f"n_sim must be a power of two, got {self.n_sim}")
+        if self.tau_2d not in ("dct", "bior"):
+            raise ValueError(f"tau_2d must be 'dct' or 'bior', got {self.tau_2d!r}")
+        if self.tau_4d not in ("dct", "id"):
+            raise ValueError(f"tau_4d must be 'dct' or 'id', got {self.tau_4d!r}")
+        if self.tau_5d not in ("haar", "hadamard", "dct"):
+            raise ValueError(
+                f"tau_5d must be 'haar', 'hadamard' or 'dct', got {self.tau_5d!r}"
+            )
+
+    @property
+    def pad(self) -> int:
+        """Symmetric padding applied to every SAI before this step.
+
+        n_search covers the self-BM window; n_disp more keeps every angular
+        disparity window of every similar patch in-bounds (spec choice
+        documented in SURVEY.md §2.10.2 discussion; the reference symmetrizes
+        by the search half-window).
+        """
+        return self.n_search + self.n_disp
+
+    def replace(self, **kw) -> "StepParams":
+        return dataclasses.replace(self, **kw)
+
+
+def default_ht_params() -> StepParams:
+    return StepParams(tau_match=2500.0)
+
+
+def default_wiener_params() -> StepParams:
+    return StepParams(tau_match=400.0)
+
+
+@dataclass(frozen=True)
+class DenoiseParams:
+    """Full two-step pipeline parameters (reference `run_bm5d` contract)."""
+
+    sigma: float = 25.0
+    lambda_3d: float = 2.7
+    color_space: str = "opp"  # 'opp' | 'yuv' | 'ycbcr' | 'rgb'
+    ht: StepParams = dataclasses.field(default_factory=default_ht_params)
+    wiener: StepParams = dataclasses.field(default_factory=default_wiener_params)
+    # Compute chunk of reference patches processed per inner iteration; purely
+    # a performance/memory knob, never changes results.
+    chunk: int = 256
+
+    def __post_init__(self):
+        if self.color_space not in ("opp", "yuv", "ycbcr", "rgb"):
+            raise ValueError(f"unknown color_space {self.color_space!r}")
+
+    def replace(self, **kw) -> "DenoiseParams":
+        return dataclasses.replace(self, **kw)
+
+
+def default_denoise_params(sigma: float = 25.0) -> DenoiseParams:
+    return DenoiseParams(sigma=sigma)
+
+
+@dataclass(frozen=True)
+class SRParams:
+    """Super-resolution mode (ICIP18): bicubic init + [filter, back-project] loop.
+
+    sigma_init/sigma_final define the decreasing sigma schedule over n_iter
+    iterations (linear in sigma, SURVEY.md §2.10 SR paragraph).
+    """
+
+    scale: int = 2
+    n_iter: int = 10
+    sigma_init: float = 12.0
+    sigma_final: float = 1.0
+    color_space: str = "opp"
+    lambda_3d: float = 2.7
+    ht: StepParams = dataclasses.field(default_factory=default_ht_params)
+    wiener: StepParams = dataclasses.field(default_factory=default_wiener_params)
+    # Back-projection gain.
+    bp_gain: float = 1.0
+    chunk: int = 256
+
+    def replace(self, **kw) -> "SRParams":
+        return dataclasses.replace(self, **kw)
