@@ -38,6 +38,7 @@ import numpy as np
 from lfbm5d_tpu.config import DenoiseParams, StepParams
 from lfbm5d_tpu.lf.color import channel_sigma_scales, rgb_to_space, space_to_rgb
 from lfbm5d_tpu.lf.pad import ind_initialize, pad_lf
+from lfbm5d_tpu.ops.distances import DIST_QUANT
 from lfbm5d_tpu.transforms import matrices as tm
 
 
@@ -91,14 +92,17 @@ def oracle_block_match(match_p: np.ndarray, r_s: int, r_t: int, y: int, x: int,
     ref_plane = match_p[r_s, r_t, :, :, 0]
     p_ref = ref_plane[y : y + k, x : x + k]
 
-    # --- self-similarity BM over the (2n+1)^2 window, row-major candidates
-    dists = np.empty(((2 * n + 1) ** 2,), dtype=np.float64)
+    # --- self-similarity BM over the (2n+1)^2 window, row-major candidates.
+    # Distances are quantized to 1/DIST_QUANT units (round-half-even) so that
+    # mirror-padding permutation ties resolve identically across
+    # implementations — see lfbm5d_tpu/ops/distances.py.
+    dists = np.empty(((2 * n + 1) ** 2,), dtype=np.int64)
     cand_pos = np.empty(((2 * n + 1) ** 2, 2), dtype=np.int64)
     idx = 0
     for dy in range(-n, n + 1):
         for dx in range(-n, n + 1):
             q = ref_plane[y + dy : y + dy + k, x + dx : x + dx + k]
-            dists[idx] = np.sum((p_ref - q) ** 2) / (k * k)
+            dists[idx] = np.round(np.sum((p_ref - q) ** 2) * (DIST_QUANT / (k * k)))
             cand_pos[idx] = (y + dy, x + dx)
             idx += 1
     # Tie-break: self candidate (window center) first, then row-major index.
@@ -106,7 +110,7 @@ def oracle_block_match(match_p: np.ndarray, r_s: int, r_t: int, y: int, x: int,
     self_idx = n * (2 * n + 1) + n
     tie[self_idx] = -1
     order = np.lexsort((tie, dists))
-    valid = dists[order] <= sp.tau_match
+    valid = dists[order] <= round(sp.tau_match * DIST_QUANT)
     count = int(valid.sum())
     n_g = _pow2_floor(max(1, min(count, sp.n_sim)))
     sim_pos = cand_pos[order[:n_g]]
@@ -127,7 +131,9 @@ def oracle_block_match(match_p: np.ndarray, r_s: int, r_t: int, y: int, x: int,
                 for dy in range(-nd, nd + 1):
                     for dx in range(-nd, nd + 1):
                         q = plane[yj + dy : yj + dy + k, xj + dx : xj + dx + k]
-                        d = np.sum((p_sim - q) ** 2)
+                        d = np.round(
+                            np.sum((p_sim - q) ** 2) * (DIST_QUANT / (k * k))
+                        )
                         if d < best_d:
                             best_d = d
                             best = (yj + dy, xj + dx)

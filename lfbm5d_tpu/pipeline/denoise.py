@@ -1,0 +1,240 @@
+"""Two-step HT -> Wiener LFBM5D pipeline, dense and jitted (reference run_bm5d).
+
+Design stance (SURVEY.md §7): the C++ reference is patch-at-a-time and
+branch-heavy; this pipeline is grid-at-a-time and dense. One jitted function
+per step processes every reference patch of every reference SAI:
+
+  lax.scan over reference SAIs
+    -> displacement-stacked self-BM distances at the whole reference grid
+    -> stable masked top-N + power-of-two truncation (ops.match)
+    -> lax.scan over SAIs: dense disparity-argmin maps, gathered at the
+       similar-patch positions (ops.distances.cross_argmin)
+    -> lax.fori_loop over fixed-size reference-patch chunks:
+         one big gather builds the [chunk, N, aH, aW, k, k, C] 5D group
+         -> separable transform (einsum/MXU) -> HT or Wiener shrinkage
+         -> inverse transform -> Kaiser*weight scatter-add into the
+         per-SAI numerator/denominator accumulators.
+
+Every shape is static; variable group sizes are realized by per-group
+zero-padded stack matrices and masked aggregation weights, never by dynamic
+shapes. The "checkpoint" contract of the reference (basic LF written to disk
+between the two steps, SURVEY.md §5.4) lives in the CLI driver; here the basic
+estimate is simply the HT step's output array.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lfbm5d_tpu.config import DenoiseParams, StepParams
+from lfbm5d_tpu.lf.color import channel_sigma_scales, rgb_to_space, space_to_rgb
+from lfbm5d_tpu.lf.pad import ind_initialize, pad_lf
+from lfbm5d_tpu.ops.distances import (
+    center_index,
+    cross_argmin,
+    displacements,
+    self_distances,
+)
+from lfbm5d_tpu.ops.match import select_similar
+from lfbm5d_tpu.ops.shrinkage import ht_shrink, sd_weight, wiener_shrink
+from lfbm5d_tpu.transforms import matrices as tm
+from lfbm5d_tpu.transforms.apply import GroupTransforms, forward_5d, inverse_5d
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@lru_cache(maxsize=None)
+def _build_step(
+    sp: StepParams,
+    lambda_3d: float,
+    a_h: int,
+    a_w: int,
+    h: int,
+    w: int,
+    c: int,
+    chunk: int,
+    wiener: bool,
+    dtype: str = "float32",
+):
+    """Compile one filtering step for a fixed geometry and parameter block.
+
+    Returns jit(fn)(noisy_p, match_p, sigma_c[, basic_p]) -> (num, den), all
+    operating on flattened-SAI padded arrays [A, Hp, Wp, C].
+    """
+    k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
+    a = a_h * a_w
+    ys = ind_initialize(h, k, sp.p) + pad
+    xs = ind_initialize(w, k, sp.p) + pad
+    t = len(ys) * len(xs)
+    chunk = min(chunk, t)
+    n_chunks = _cdiv(t, chunk)
+    t_pad = n_chunks * chunk
+
+    dt = jnp.dtype(dtype)
+    pos_y = jnp.asarray(np.repeat(ys, len(xs)).astype(np.int32))
+    pos_x = jnp.asarray(np.tile(xs, len(ys)).astype(np.int32))
+    disp_self = jnp.asarray(displacements(n))
+    disp_ang = jnp.asarray(displacements(nd))
+    c_ang = center_index(nd)
+    kaiser = jnp.asarray(tm.kaiser_window(k), dtype=dt)
+    gt = GroupTransforms.build(sp, a_h, a_w, dtype=dt)
+    ku = jnp.arange(k)[:, None]
+    kv = jnp.arange(k)[None, :]
+    a_b = jnp.arange(a)[None, None, :, None, None]
+
+    def step(noisy_p, match_p, sigma_c, basic_p):
+        match0 = match_p[..., 0]  # [A, Hp, Wp]
+
+        def ref_pass(carry, r):
+            num, den = carry
+            ref0 = match0[r]
+            d_self = self_distances(ref0, ys, xs, k, n)  # [T, Ds]
+            order, lvl, mask = select_similar(d_self, n, sp.tau_match, n_sim)
+            off = disp_self[order]  # [T, N, 2]
+            sim_y = pos_y[:, None] + off[..., 0]
+            sim_x = pos_x[:, None] + off[..., 1]
+
+            def per_a(_, ai):
+                bidx = cross_argmin(ref0, match0[ai], k, nd)
+                return _, bidx[sim_y, sim_x]  # [T, N]
+
+            _, ang = lax.scan(per_a, 0, jnp.arange(a))  # [A, T, N]
+            # the reference SAI's angular match is the similar patch itself
+            ang = jnp.where((jnp.arange(a) == r)[:, None, None], c_ang, ang)
+            ang = jnp.transpose(ang, (1, 2, 0))  # [T, N, A]
+
+            pt = t_pad - t
+            if pt:
+                sim_y = jnp.pad(sim_y, ((0, pt), (0, 0)), constant_values=pad)
+                sim_x = jnp.pad(sim_x, ((0, pt), (0, 0)), constant_values=pad)
+                lvl_p = jnp.pad(lvl, (0, pt))
+                mask_p = jnp.pad(mask, ((0, pt), (0, 0)))  # False: zero weight
+                ang = jnp.pad(
+                    ang, ((0, pt), (0, 0), (0, 0)), constant_values=c_ang
+                )
+            else:
+                lvl_p, mask_p = lvl, mask
+
+            def chunk_body(i, nd_acc):
+                num, den = nd_acc
+                s0 = i * chunk
+                cy = lax.dynamic_slice_in_dim(sim_y, s0, chunk, 0)
+                cx = lax.dynamic_slice_in_dim(sim_x, s0, chunk, 0)
+                clvl = lax.dynamic_slice_in_dim(lvl_p, s0, chunk, 0)
+                cmask = lax.dynamic_slice_in_dim(mask_p, s0, chunk, 0)
+                cang = lax.dynamic_slice_in_dim(ang, s0, chunk, 0)
+                aoff = disp_ang[cang]  # [Tc, N, A, 2]
+                ay = cy[:, :, None] + aoff[..., 0]
+                ax = cx[:, :, None] + aoff[..., 1]
+                yy = ay[..., None, None] + ku  # [Tc, N, A, k, 1]
+                xx = ax[..., None, None] + kv  # [Tc, N, A, 1, k]
+
+                grp = noisy_p[a_b, yy, xx]  # [Tc, N, A, k, k, C]
+                g = grp.reshape(chunk, n_sim, a_h, a_w, k, k, c)
+                spec = forward_5d(g, clvl, gt)
+                if wiener:
+                    gb = basic_p[a_b, yy, xx].reshape(
+                        chunk, n_sim, a_h, a_w, k, k, c
+                    )
+                    spec_b = forward_5d(gb, clvl, gt)
+                    filt, wgt = wiener_shrink(spec, spec_b, sigma_c)
+                else:
+                    filt, wgt = ht_shrink(spec, sigma_c, lambda_3d)
+                est = inverse_5d(filt, clvl, gt)
+                if sp.use_sd:
+                    wgt = sd_weight(est, clvl, a, k)
+                est = est.reshape(chunk, n_sim, a, k, k, c)
+
+                wfull = (
+                    wgt[:, None, None, None, None, :]
+                    * cmask[:, :, None, None, None, None]
+                    * kaiser[None, None, None, :, :, None]
+                )  # [Tc, N, 1, k, k, C]
+                num = num.at[a_b, yy, xx].add(est * wfull)
+                den = den.at[a_b, yy, xx].add(
+                    jnp.broadcast_to(wfull, est.shape)
+                )
+                return num, den
+
+            num, den = lax.fori_loop(0, n_chunks, chunk_body, (num, den))
+            return (num, den), None
+
+        init = (jnp.zeros_like(noisy_p), jnp.zeros_like(noisy_p))
+        (num, den), _ = lax.scan(ref_pass, init, jnp.arange(a))
+        return num, den
+
+    if wiener:
+        fn = jax.jit(step)
+    else:
+        fn = jax.jit(lambda np_, mp_, sc_: step(np_, mp_, sc_, None))
+    return fn
+
+
+def _finalize(num, den, pad: int, a_h: int, a_w: int, h: int, w: int, c: int):
+    est = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    est = est.reshape(a_h, a_w, *est.shape[1:])
+    return est[:, :, pad : pad + h, pad : pad + w, :]
+
+
+def _flat_pad(x, pad: int):
+    """[aH, aW, H, W, C] -> padded, flattened to [A, Hp, Wp, C]."""
+    xp = pad_lf(x, pad)
+    return xp.reshape(-1, *xp.shape[2:])
+
+
+def _sigma_channels(sigma: float, color_space: str, c: int, dtype: str):
+    scales = channel_sigma_scales(color_space)[:c] if c == 3 else np.ones((c,))
+    return jnp.asarray(sigma * scales, dtype=jnp.dtype(dtype))
+
+
+def ht_step(x, sigma: float, sp: StepParams, lambda_3d: float = 2.7,
+            color_space: str = "rgb", chunk: int = 256, dtype: str = "float32"):
+    """HT step on an already-color-transformed LF [aH,aW,H,W,C] -> basic."""
+    a_h, a_w, h, w, c = x.shape
+    x = jnp.asarray(x, jnp.dtype(dtype))
+    fn = _build_step(sp, lambda_3d, a_h, a_w, h, w, c, chunk, False, dtype)
+    xp = _flat_pad(x, sp.pad)
+    num, den = fn(xp, xp, _sigma_channels(sigma, color_space, c, dtype))
+    return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
+
+
+def wiener_step(x, basic, sigma: float, sp: StepParams,
+                color_space: str = "rgb", chunk: int = 256,
+                dtype: str = "float32"):
+    """Wiener step: BM on `basic`, shrinkage of `x` guided by `basic`."""
+    a_h, a_w, h, w, c = x.shape
+    x = jnp.asarray(x, jnp.dtype(dtype))
+    basic = jnp.asarray(basic, jnp.dtype(dtype))
+    fn = _build_step(sp, 0.0, a_h, a_w, h, w, c, chunk, True, dtype)
+    xp = _flat_pad(x, sp.pad)
+    bp = _flat_pad(basic, sp.pad)
+    num, den = fn(xp, bp, _sigma_channels(sigma, color_space, c, dtype), bp)
+    return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
+
+
+def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32"):
+    """Full two-step pipeline. noisy_lf: [aH,aW,H,W,C] RGB/gray in [0,255].
+
+    Returns (basic, final) jnp arrays in the input color space.
+    """
+    lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
+    x = rgb_to_space(lf, params.color_space)
+    basic = ht_step(
+        x, params.sigma, params.ht, params.lambda_3d, params.color_space,
+        params.chunk, dtype,
+    )
+    final = wiener_step(
+        x, basic, params.sigma, params.wiener, params.color_space,
+        params.chunk, dtype,
+    )
+    return (
+        space_to_rgb(basic, params.color_space),
+        space_to_rgb(final, params.color_space),
+    )
