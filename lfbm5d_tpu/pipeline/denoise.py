@@ -63,10 +63,11 @@ def _build_step(
     wiener: bool,
     dtype: str = "float32",
 ):
-    """Compile one filtering step for a fixed geometry and parameter block.
+    """Build one filtering step for a fixed geometry and parameter block.
 
-    Returns jit(fn)(noisy_p, match_p, sigma_c[, basic_p]) -> (num, den), all
-    operating on flattened-SAI padded arrays [A, Hp, Wp, C].
+    Returns the raw (unjitted, composable) fn(noisy_p, match_p, sigma_c,
+    basic_p) -> (num, den), operating on flattened-SAI padded arrays
+    [A, Hp, Wp, C]. Use `_build_step_jit` for a standalone jitted version.
     """
     k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
     a = a_h * a_w
@@ -170,11 +171,16 @@ def _build_step(
         (num, den), _ = lax.scan(ref_pass, init, jnp.arange(a))
         return num, den
 
+    return step
+
+
+@lru_cache(maxsize=None)
+def _build_step_jit(*key):
+    step = _build_step(*key)
+    wiener = key[8]
     if wiener:
-        fn = jax.jit(step)
-    else:
-        fn = jax.jit(lambda np_, mp_, sc_: step(np_, mp_, sc_, None))
-    return fn
+        return jax.jit(step)
+    return jax.jit(lambda np_, mp_, sc_: step(np_, mp_, sc_, None))
 
 
 def _finalize(num, den, pad: int, a_h: int, a_w: int, h: int, w: int, c: int):
@@ -199,7 +205,7 @@ def ht_step(x, sigma: float, sp: StepParams, lambda_3d: float = 2.7,
     """HT step on an already-color-transformed LF [aH,aW,H,W,C] -> basic."""
     a_h, a_w, h, w, c = x.shape
     x = jnp.asarray(x, jnp.dtype(dtype))
-    fn = _build_step(sp, lambda_3d, a_h, a_w, h, w, c, chunk, False, dtype)
+    fn = _build_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, chunk, False, dtype)
     xp = _flat_pad(x, sp.pad)
     num, den = fn(xp, xp, _sigma_channels(sigma, color_space, c, dtype))
     return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
@@ -212,11 +218,68 @@ def wiener_step(x, basic, sigma: float, sp: StepParams,
     a_h, a_w, h, w, c = x.shape
     x = jnp.asarray(x, jnp.dtype(dtype))
     basic = jnp.asarray(basic, jnp.dtype(dtype))
-    fn = _build_step(sp, 0.0, a_h, a_w, h, w, c, chunk, True, dtype)
+    fn = _build_step_jit(sp, 0.0, a_h, a_w, h, w, c, chunk, True, dtype)
     xp = _flat_pad(x, sp.pad)
     bp = _flat_pad(basic, sp.pad)
     num, den = fn(xp, bp, _sigma_channels(sigma, color_space, c, dtype), bp)
     return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
+
+
+@lru_cache(maxsize=None)
+def build_denoise_fn(
+    params: DenoiseParams,
+    a_h: int,
+    a_w: int,
+    h: int,
+    w: int,
+    c: int,
+    dtype: str = "float32",
+):
+    """Compose the FULL per-LF pipeline (color -> HT -> Wiener -> inverse
+    color) into one raw jittable function fn(lf, sigma_c) -> (basic, final).
+
+    This single function is what jit/vmap/shard_map consume: one compilation
+    covers the whole two-step pipeline, and the streaming path maps it over a
+    batch of light fields (SURVEY.md §5.8).
+    """
+    dt = jnp.dtype(dtype)
+    ht_raw = _build_step(
+        params.ht, params.lambda_3d, a_h, a_w, h, w, c, params.chunk, False,
+        dtype,
+    )
+    wn_raw = _build_step(
+        params.wiener, 0.0, a_h, a_w, h, w, c, params.chunk, True, dtype
+    )
+    use_color = c == 3 and params.color_space != "rgb"
+    if use_color:
+        from lfbm5d_tpu.lf.color import color_matrix
+
+        m = np.asarray(color_matrix(params.color_space))
+        mf = jnp.asarray(m, dt)
+        mi = jnp.asarray(np.linalg.inv(m), dt)
+
+    def fn(lf, sigma_c):
+        x = jnp.asarray(lf, dt)
+        if use_color:
+            x = x @ mf.T
+        xp = _flat_pad(x, params.ht.pad)
+        num, den = ht_raw(xp, xp, sigma_c, None)
+        basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c)
+        xp2 = _flat_pad(x, params.wiener.pad)
+        bp = _flat_pad(basic, params.wiener.pad)
+        num, den = wn_raw(xp2, bp, sigma_c, bp)
+        final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c)
+        if use_color:
+            basic = basic @ mi.T
+            final = final @ mi.T
+        return basic, final
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _build_denoise_jit(params, a_h, a_w, h, w, c, dtype):
+    return jax.jit(build_denoise_fn(params, a_h, a_w, h, w, c, dtype))
 
 
 def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32"):
@@ -225,16 +288,7 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32"):
     Returns (basic, final) jnp arrays in the input color space.
     """
     lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
-    x = rgb_to_space(lf, params.color_space)
-    basic = ht_step(
-        x, params.sigma, params.ht, params.lambda_3d, params.color_space,
-        params.chunk, dtype,
-    )
-    final = wiener_step(
-        x, basic, params.sigma, params.wiener, params.color_space,
-        params.chunk, dtype,
-    )
-    return (
-        space_to_rgb(basic, params.color_space),
-        space_to_rgb(final, params.color_space),
-    )
+    a_h, a_w, h, w, c = lf.shape
+    fn = _build_denoise_jit(params, a_h, a_w, h, w, c, dtype)
+    sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+    return fn(lf, sigma_c)
