@@ -1,0 +1,108 @@
+"""Banded scatter-add kernel: Kaiser-weighted aggregation (SURVEY.md §3.1).
+
+The TPU has no scatter unit (neither XLA — measured < 1 GB/s — nor a Mosaic
+primitive), so aggregation runs as a sequential-grid Pallas kernel that
+read-modify-writes VMEM band accumulators: the TPU grid executes one program
+at a time per core, so overlapping patch writes are race-free by
+construction (SURVEY.md §5.2's "deterministic aggregation" requirement).
+
+Inverse of kernels/extract.py: each slot's pre-weighted patch rows
+[k*k, L] are expanded back to the (k+2nd)^2 superpatch footprint with
+per-lane masked placement (each SAI lane at its own disparity offset), then
+added into the tile's accumulator band at the slot's position. The band
+output block is revisited across all slot chunks of a tile (index unchanged
+along the chunk grid axis) and zeroed on the first chunk.
+
+The caller sums overlapping tile bands into the global accumulator planes
+(tiles carry halos, so bands overlap; that combine is dense XLA work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(k: int, nd: int, sc: int, l: int):
+    sk = k + 2 * nd
+    nsel = 2 * nd + 1
+
+    def kernel(sy_ref, sx_ref, vals_ref, doff_ref, acc_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(s, _):
+            y = sy_ref[i, j, s]
+            x = sx_ref[i, j, s]
+            patch = vals_ref[0, pl.ds(s * k * k, k * k), :].reshape(k, k, l)
+            d = doff_ref[0, s, :]
+            dy = d // nsel
+            dx = d - dy * nsel
+            dy = dy[None, None, :]
+            dx = dx[None, None, :]
+            # per-lane horizontal placement at cols dx..dx+k
+            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                placed = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
+                accx = jnp.where(dx == m, placed, accx)
+            # per-lane vertical placement at rows dy..dy+k
+            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                placed = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
+                sup = jnp.where(dy == m, placed, sup)
+            cur = acc_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
+            acc_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur + sup
+            return 0
+
+        jax.lax.fori_loop(0, sc, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nd", "bh", "bw", "interpret"))
+def accumulate_groups(
+    vals, sy, sx, doff, bh: int, bw: int, k: int = 8, nd: int = 2,
+    interpret: bool = False,
+):
+    """Scatter-add pre-weighted patch rows into per-tile accumulator bands.
+
+    vals: [n_tiles, n_chunks, Sc*k*k, L] — each slot's weighted patch values
+      (slot-major rows of k*k pixels, SAIs on lanes). Invalid/padded slots
+      must carry zero values.
+    sy/sx: [n_tiles, n_chunks, Sc] int32 — superpatch origins, band-relative.
+    doff:  [n_tiles, n_chunks, Sc, L] int32 — per-lane flat disparity index.
+    Returns acc bands [n_tiles, bh, bw, L].
+    """
+    n_tiles, n_chunks, rows, l = vals.shape
+    sc = sy.shape[2]
+    kernel = _make_kernel(k, nd, sc, l)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sc, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, bh, bw, l), vals.dtype),
+        interpret=interpret,
+    )(
+        sy, sx,
+        vals.reshape(n_tiles * n_chunks, rows, l),
+        doff.reshape(n_tiles * n_chunks, sc, l),
+    )
