@@ -174,9 +174,31 @@ def _build_step(
     return step
 
 
+def _resolve_engine(engine: str) -> str:
+    """'auto' -> the Pallas kernel engine on TPU, the XLA path elsewhere."""
+    if engine == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return engine
+
+
+@lru_cache(maxsize=None)
+def _raw_step(
+    sp, lambda_3d, a_h, a_w, h, w, c, chunk, wiener, dtype, engine
+):
+    engine = _resolve_engine(engine)
+    if engine == "pallas":
+        from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+        return build_kernel_step(
+            sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return _build_step(sp, lambda_3d, a_h, a_w, h, w, c, chunk, wiener, dtype)
+
+
 @lru_cache(maxsize=None)
 def _build_step_jit(*key):
-    step = _build_step(*key)
+    step = _raw_step(*key)
     wiener = key[8]
     if wiener:
         return jax.jit(step)
@@ -201,11 +223,14 @@ def _sigma_channels(sigma: float, color_space: str, c: int, dtype: str):
 
 
 def ht_step(x, sigma: float, sp: StepParams, lambda_3d: float = 2.7,
-            color_space: str = "rgb", chunk: int = 256, dtype: str = "float32"):
+            color_space: str = "rgb", chunk: int = 256, dtype: str = "float32",
+            engine: str = "xla"):
     """HT step on an already-color-transformed LF [aH,aW,H,W,C] -> basic."""
     a_h, a_w, h, w, c = x.shape
     x = jnp.asarray(x, jnp.dtype(dtype))
-    fn = _build_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, chunk, False, dtype)
+    fn = _build_step_jit(
+        sp, lambda_3d, a_h, a_w, h, w, c, chunk, False, dtype, engine
+    )
     xp = _flat_pad(x, sp.pad)
     num, den = fn(xp, xp, _sigma_channels(sigma, color_space, c, dtype))
     return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
@@ -213,12 +238,14 @@ def ht_step(x, sigma: float, sp: StepParams, lambda_3d: float = 2.7,
 
 def wiener_step(x, basic, sigma: float, sp: StepParams,
                 color_space: str = "rgb", chunk: int = 256,
-                dtype: str = "float32"):
+                dtype: str = "float32", engine: str = "xla"):
     """Wiener step: BM on `basic`, shrinkage of `x` guided by `basic`."""
     a_h, a_w, h, w, c = x.shape
     x = jnp.asarray(x, jnp.dtype(dtype))
     basic = jnp.asarray(basic, jnp.dtype(dtype))
-    fn = _build_step_jit(sp, 0.0, a_h, a_w, h, w, c, chunk, True, dtype)
+    fn = _build_step_jit(
+        sp, 0.0, a_h, a_w, h, w, c, chunk, True, dtype, engine
+    )
     xp = _flat_pad(x, sp.pad)
     bp = _flat_pad(basic, sp.pad)
     num, den = fn(xp, bp, _sigma_channels(sigma, color_space, c, dtype), bp)
@@ -234,6 +261,7 @@ def build_denoise_fn(
     w: int,
     c: int,
     dtype: str = "float32",
+    engine: str = "xla",
 ):
     """Compose the FULL per-LF pipeline (color -> HT -> Wiener -> inverse
     color) into one raw jittable function fn(lf, sigma_c) -> (basic, final).
@@ -243,12 +271,13 @@ def build_denoise_fn(
     batch of light fields (SURVEY.md §5.8).
     """
     dt = jnp.dtype(dtype)
-    ht_raw = _build_step(
+    ht_raw = _raw_step(
         params.ht, params.lambda_3d, a_h, a_w, h, w, c, params.chunk, False,
-        dtype,
+        dtype, engine,
     )
-    wn_raw = _build_step(
-        params.wiener, 0.0, a_h, a_w, h, w, c, params.chunk, True, dtype
+    wn_raw = _raw_step(
+        params.wiener, 0.0, a_h, a_w, h, w, c, params.chunk, True, dtype,
+        engine,
     )
     use_color = c == 3 and params.color_space != "rgb"
     if use_color:
@@ -278,17 +307,21 @@ def build_denoise_fn(
 
 
 @lru_cache(maxsize=None)
-def _build_denoise_jit(params, a_h, a_w, h, w, c, dtype):
-    return jax.jit(build_denoise_fn(params, a_h, a_w, h, w, c, dtype))
+def _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, engine):
+    return jax.jit(build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine))
 
 
-def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32"):
+def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
+             engine: str = "auto"):
     """Full two-step pipeline. noisy_lf: [aH,aW,H,W,C] RGB/gray in [0,255].
 
-    Returns (basic, final) jnp arrays in the input color space.
+    Returns (basic, final) jnp arrays in the input color space. engine:
+    'auto' (Pallas kernels on TPU, XLA elsewhere), 'pallas', or 'xla'.
     """
     lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
     a_h, a_w, h, w, c = lf.shape
-    fn = _build_denoise_jit(params, a_h, a_w, h, w, c, dtype)
+    fn = _build_denoise_jit(
+        params, a_h, a_w, h, w, c, dtype, _resolve_engine(engine)
+    )
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     return fn(lf, sigma_c)

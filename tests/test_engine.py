@@ -1,0 +1,62 @@
+"""Pallas-engine vs XLA-path equivalence (interpret mode on CPU).
+
+The engines share BM decisions exactly (quantized-distance spec); outputs
+differ only by float reassociation in the kron-vs-separable transforms.
+"""
+
+import numpy as np
+import pytest
+
+from lfbm5d_tpu.config import DenoiseParams, StepParams
+from lfbm5d_tpu.lf import psnr, synthetic_lf
+from lfbm5d_tpu.lf.noise import add_noise_np
+from lfbm5d_tpu.pipeline import run_bm5d
+
+TINY = dict(n_sim=8, n_search=4, n_disp=1, k=8, p=3)
+
+
+def params(sigma=20.0, **kw):
+    return DenoiseParams(
+        sigma=sigma,
+        ht=StepParams(tau_match=2500.0, **TINY),
+        wiener=StepParams(tau_match=400.0, **TINY),
+        chunk=32,
+        **kw,
+    )
+
+
+def test_engines_agree_gray():
+    clean = synthetic_lf(2, 2, 20, 24, channels=1, seed=0)
+    noisy = add_noise_np(clean, 20.0, seed=1)
+    p = params()
+    bx, fx = run_bm5d(noisy, p, engine="xla")
+    bp, fp = run_bm5d(noisy, p, engine="pallas")
+    for a, b in [(bx, bp), (fx, fp)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_engines_agree_rgb_opp():
+    clean = synthetic_lf(2, 2, 18, 20, channels=3, seed=2)
+    noisy = add_noise_np(clean, 25.0, seed=3)
+    p = params(sigma=25.0)
+    _, fx = run_bm5d(noisy, p, engine="xla")
+    _, fp = run_bm5d(noisy, p, engine="pallas")
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=2e-3)
+    clean_psnr = psnr(np.clip(np.asarray(fp), 0, 255), clean)
+    assert clean_psnr > psnr(np.clip(noisy, 0, 255), clean) + 2.0
+
+
+def test_engine_bior_hadamard_variant():
+    """Config-3 transform stack through the kernel engine."""
+    clean = synthetic_lf(2, 2, 20, 20, channels=1, seed=4)
+    noisy = add_noise_np(clean, 20.0, seed=5)
+    var = dict(TINY, **{})
+    p = DenoiseParams(
+        sigma=20.0,
+        ht=StepParams(tau_match=2500.0, tau_2d="bior", tau_5d="hadamard", **var),
+        wiener=StepParams(tau_match=400.0, tau_2d="bior", tau_5d="hadamard", **var),
+        chunk=32,
+    )
+    _, fx = run_bm5d(noisy, p, engine="xla")
+    _, fp = run_bm5d(noisy, p, engine="pallas")
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=5e-3)
