@@ -23,14 +23,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="headline config: 9x9 x 434x625 RGB (needs the "
-                    "Pallas kernels to finish in reasonable time)")
+                    help="headline config: 9x9 x 434x625 RGB (compile alone "
+                    "can take ~10 min on the remote-compile service)")
     ap.add_argument("--quick", action="store_true",
                     help="small LF (3x3x96x128) smoke test")
     ap.add_argument("--runs", type=int, default=1)
-    ap.add_argument("--preset", default="default", choices=["default", "fast"],
+    ap.add_argument("--preset", default="fast", choices=["default", "fast"],
                     help="'default' = reference-default parameters; 'fast' = "
-                    "throughput-oriented parameters (coarser ref grid)")
+                    "throughput preset (N=8, p=6, smaller search windows)")
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pallas", "xla"])
     ap.add_argument("--sigma", type=float, default=25.0)
     args = ap.parse_args()
 
@@ -48,18 +50,16 @@ def main():
         a_h = a_w = 3
         h, w = 96, 128
     else:
-        # interim measurement size until the fused Pallas group kernel lands:
-        # the XLA gather/scatter path is too slow for larger configs on one
-        # chip (exceeds the device's run-time limit).
-        a_h = a_w = 3
-        h, w = 96, 128
+        # default measurement: mid-size config whose compile reliably fits
+        # the remote-compile service's latency (~90s); 9x9 full scale is
+        # --full (compile alone can exceed 8 minutes there).
+        a_h = a_w = 5
+        h, w = 192, 256
 
     if args.preset == "fast":
-        step = dict(n_sim=8, n_search=16, n_disp=2, k=8, p=6)
+        step = dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
     else:
         step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
-    if not args.full:
-        step.update(n_search=8, n_disp=1, n_sim=8, p=4)
     params = DenoiseParams(
         sigma=args.sigma,
         ht=StepParams(tau_match=2500.0, **step),
@@ -76,7 +76,7 @@ def main():
 
     # warmup / compile
     t0 = time.time()
-    basic, final = run_bm5d(noisy, params)
+    basic, final = run_bm5d(noisy, params, engine=args.engine)
     jax.block_until_ready(final)
     compile_and_first = time.time() - t0
     print(f"compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
@@ -84,7 +84,7 @@ def main():
     times = []
     for _ in range(args.runs):
         t0 = time.time()
-        basic, final = run_bm5d(noisy, params)
+        basic, final = run_bm5d(noisy, params, engine=args.engine)
         jax.block_until_ready(final)
         times.append(time.time() - t0)
     dt = min(times)

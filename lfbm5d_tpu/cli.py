@@ -1,0 +1,238 @@
+"""Command-line driver reproducing the reference CLI semantics (SURVEY.md §2.9).
+
+The C++ tool is a single positional-argument CLI; this driver accepts both a
+modern flagged form and the reference-style positional block. Two modes:
+
+  denoise:  load LF -> [add AWGN if clean + sigma given] -> two-step HT+Wiener
+            -> PSNR/RMSE report -> write basic / denoised / diff LFs
+            (the basic LF on disk doubles as the between-steps checkpoint,
+            SURVEY.md §5.4).
+  sr:       load LR LF -> bicubic x-scale init -> [filter + back-projection]
+            loop -> write HR LF; per-iteration checkpoints.
+
+Per-step parameter blocks mirror the reference: N (max similar patches), n
+(self-similarity half-window), nDisp (angular half-window), k (patch), p
+(step), tau_2d in {dct, bior}, useSD, tau_4d in {dct, id}, tau_5d in
+{haar, hadamard, dct}; globals: lambda (HT threshold 2.7), color space,
+sigma on the [0,255] scale.
+
+Usage examples:
+  python -m lfbm5d_tpu.cli denoise --input noisy_dir --pattern 'SAI_%02d_%02d.png' \\
+      --awidth 9 --aheight 9 --sigma 25 --output out_dir --basic basic_dir
+  python -m lfbm5d_tpu.cli sr --input lr_dir --pattern 'SAI_%02d_%02d.png' \\
+      --awidth 9 --aheight 9 --scale 2 --output hr_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from lfbm5d_tpu.config import DenoiseParams, SRParams, StepParams
+from lfbm5d_tpu.lf import load_lf, psnr, rmse, save_lf
+from lfbm5d_tpu.lf.noise import add_noise_np
+
+
+def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
+    g = ap.add_argument_group(f"{prefix} step parameters")
+    g.add_argument(f"--{prefix}-nsim", type=int, default=16,
+                   help="max similar patches N (power of two)")
+    g.add_argument(f"--{prefix}-nsearch", type=int, default=16,
+                   help="self-similarity search half-window n")
+    g.add_argument(f"--{prefix}-ndisp", type=int, default=2,
+                   help="angular/disparity search half-window nDisp")
+    g.add_argument(f"--{prefix}-k", type=int, default=8, help="patch size k")
+    g.add_argument(f"--{prefix}-p", type=int, default=3,
+                   help="reference-patch step p")
+    g.add_argument(f"--{prefix}-tau2d", default="dct", choices=["dct", "bior"])
+    g.add_argument(f"--{prefix}-tau4d", default="dct", choices=["dct", "id"])
+    g.add_argument(f"--{prefix}-tau5d", default="haar",
+                   choices=["haar", "hadamard", "dct"])
+    g.add_argument(f"--{prefix}-taumatch", type=float, default=tau_default)
+    g.add_argument(f"--{prefix}-usesd", action="store_true")
+
+
+def _step_params(ns, prefix: str) -> StepParams:
+    g = lambda name: getattr(ns, f"{prefix}_{name}")
+    return StepParams(
+        n_sim=g("nsim"), n_search=g("nsearch"), n_disp=g("ndisp"),
+        k=g("k"), p=g("p"), tau_2d=g("tau2d"), tau_4d=g("tau4d"),
+        tau_5d=g("tau5d"), tau_match=g("taumatch"), use_sd=g("usesd"),
+    )
+
+
+def _common_io_args(ap):
+    ap.add_argument("--input", required=True, help="input LF directory")
+    ap.add_argument("--pattern", default="SAI_%02d_%02d.png",
+                    help="printf-style SAI name pattern with two indices")
+    ap.add_argument("--aheight", type=int, required=True)
+    ap.add_argument("--awidth", type=int, required=True)
+    ap.add_argument("--s-offset", type=int, default=0,
+                    help="first vertical angular index on disk")
+    ap.add_argument("--t-offset", type=int, default=0)
+    ap.add_argument("--bit-depth", type=int, default=8, choices=[8, 16])
+    ap.add_argument("--color-space", default="opp",
+                    choices=["opp", "yuv", "ycbcr", "rgb"])
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pallas", "xla"])
+    ap.add_argument("--json", action="store_true",
+                    help="emit a structured JSON report on stdout")
+
+
+def _log(ns, payload: dict):
+    if ns.json:
+        print(json.dumps(payload))
+    else:
+        for k, v in payload.items():
+            print(f"{k}: {v}")
+
+
+def cmd_denoise(ns) -> int:
+    import jax
+
+    from lfbm5d_tpu.pipeline import run_bm5d
+    from lfbm5d_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("load"):
+        lf = load_lf(ns.input, ns.pattern, ns.aheight, ns.awidth,
+                     ns.s_offset, ns.t_offset)
+    clean = None
+    if ns.sigma_add is not None:
+        clean = lf
+        with timer.stage("add_noise"):
+            lf = add_noise_np(clean, ns.sigma_add, seed=ns.seed)
+    sigma = ns.sigma if ns.sigma is not None else ns.sigma_add
+    if sigma is None:
+        print("error: provide --sigma (noise level) and/or --sigma-add",
+              file=sys.stderr)
+        return 2
+
+    params = DenoiseParams(
+        sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
+        ht=_step_params(ns, "ht"), wiener=_step_params(ns, "wien"),
+        chunk=ns.chunk,
+    )
+    with timer.stage("denoise"):
+        basic, final = run_bm5d(lf, params, engine=ns.engine)
+        jax.block_until_ready(final)
+    basic = np.asarray(basic)
+    final = np.asarray(final)
+
+    with timer.stage("save"):
+        if ns.basic:
+            save_lf(basic, ns.basic, ns.pattern, ns.s_offset, ns.t_offset,
+                    ns.bit_depth)
+        save_lf(final, ns.output, ns.pattern, ns.s_offset, ns.t_offset,
+                ns.bit_depth)
+        if ns.diff:
+            save_lf(np.clip(final - lf + 128.0, 0, 255), ns.diff, ns.pattern,
+                    ns.s_offset, ns.t_offset, ns.bit_depth)
+
+    mpix = lf.shape[0] * lf.shape[1] * lf.shape[2] * lf.shape[3] / 1e6
+    report = {
+        "mode": "denoise", "shape": list(lf.shape), "sigma": sigma,
+        "mpix": round(mpix, 3),
+        "seconds_denoise": round(timer.seconds("denoise"), 3),
+        "mpix_per_s": round(mpix / max(timer.seconds("denoise"), 1e-9), 3),
+        **{f"seconds_{k}": round(v, 3) for k, v in timer.items()},
+    }
+    if clean is not None:
+        report["psnr_noisy_db"] = round(psnr(np.clip(lf, 0, 255), clean), 3)
+        report["psnr_basic_db"] = round(psnr(np.clip(basic, 0, 255), clean), 3)
+        report["psnr_final_db"] = round(psnr(np.clip(final, 0, 255), clean), 3)
+        report["rmse_final"] = round(rmse(np.clip(final, 0, 255), clean), 4)
+    _log(ns, report)
+    return 0
+
+
+def cmd_sr(ns) -> int:
+    import jax
+
+    from lfbm5d_tpu.pipeline.sr import run_sr
+    from lfbm5d_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("load"):
+        lf = load_lf(ns.input, ns.pattern, ns.aheight, ns.awidth,
+                     ns.s_offset, ns.t_offset)
+    params = SRParams(
+        scale=ns.scale, n_iter=ns.n_iter, sigma_init=ns.sigma_init,
+        sigma_final=ns.sigma_final, color_space=ns.color_space,
+        lambda_3d=ns.lam, ht=_step_params(ns, "ht"),
+        wiener=_step_params(ns, "wien"), bp_gain=ns.bp_gain, chunk=ns.chunk,
+    )
+
+    def checkpoint(i, hr):
+        if ns.checkpoint:
+            save_lf(np.asarray(hr), f"{ns.checkpoint}/iter_{i:02d}",
+                    ns.pattern, ns.s_offset, ns.t_offset, ns.bit_depth)
+
+    with timer.stage("sr"):
+        hr = run_sr(lf, params, on_iteration=checkpoint)
+        jax.block_until_ready(hr)
+    hr = np.asarray(hr)
+    with timer.stage("save"):
+        save_lf(hr, ns.output, ns.pattern, ns.s_offset, ns.t_offset,
+                ns.bit_depth)
+    _log(ns, {
+        "mode": "sr", "scale": ns.scale, "n_iter": ns.n_iter,
+        "shape_out": list(hr.shape),
+        **{f"seconds_{k}": round(v, 3) for k, v in timer.items()},
+    })
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="lfbm5d", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    dn = sub.add_parser("denoise", help="two-step HT+Wiener denoising")
+    _common_io_args(dn)
+    dn.add_argument("--sigma", type=float, default=None,
+                    help="noise std on the [0,255] scale")
+    dn.add_argument("--sigma-add", type=float, default=None,
+                    help="treat input as clean: add AWGN of this std first "
+                    "and report PSNR against the clean input")
+    dn.add_argument("--seed", type=int, default=0, help="AWGN seed")
+    dn.add_argument("--lam", type=float, default=2.7,
+                    help="hard-threshold multiplier lambda")
+    dn.add_argument("--chunk", type=int, default=128)
+    dn.add_argument("--output", required=True, help="denoised LF directory")
+    dn.add_argument("--basic", default=None,
+                    help="basic (post-HT) LF directory — the between-steps "
+                    "checkpoint")
+    dn.add_argument("--diff", default=None, help="difference LF directory")
+    _step_args(dn, "ht", 2500.0)
+    _step_args(dn, "wien", 400.0)
+    dn.set_defaults(fn=cmd_denoise)
+
+    sr = sub.add_parser("sr", help="super-resolution (x2/x3/x4)")
+    _common_io_args(sr)
+    sr.add_argument("--scale", type=int, default=2, choices=[2, 3, 4])
+    sr.add_argument("--n-iter", type=int, default=10)
+    sr.add_argument("--sigma-init", type=float, default=12.0)
+    sr.add_argument("--sigma-final", type=float, default=1.0)
+    sr.add_argument("--bp-gain", type=float, default=1.0)
+    sr.add_argument("--lam", type=float, default=2.7)
+    sr.add_argument("--chunk", type=int, default=128)
+    sr.add_argument("--output", required=True, help="HR LF directory")
+    sr.add_argument("--checkpoint", default=None,
+                    help="directory for per-iteration HR checkpoints")
+    _step_args(sr, "ht", 2500.0)
+    _step_args(sr, "wien", 400.0)
+    sr.set_defaults(fn=cmd_sr)
+
+    ns = ap.parse_args(argv)
+    return ns.fn(ns)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

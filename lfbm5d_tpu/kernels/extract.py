@@ -60,7 +60,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int):
             out_ref[0, pl.ds(s * k * k, k * k), :] = patch.reshape(k * k, l)
             return 0
 
-        jax.lax.fori_loop(0, sc, body, 0, unroll=sc)
+        jax.lax.fori_loop(0, sc, body, 0)
 
     return kernel
 

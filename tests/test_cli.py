@@ -1,0 +1,64 @@
+"""End-to-end CLI tests (the reference's only supported API, SURVEY.md §2.9)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from lfbm5d_tpu.cli import main
+from lfbm5d_tpu.lf import load_lf, save_lf, synthetic_lf
+
+TINY = [
+    "--ht-nsim", "8", "--ht-nsearch", "4", "--ht-ndisp", "1", "--ht-p", "3",
+    "--wien-nsim", "8", "--wien-nsearch", "4", "--wien-ndisp", "1",
+    "--wien-p", "3", "--chunk", "32",
+]
+
+
+@pytest.fixture(scope="module")
+def lf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lf")
+    clean = synthetic_lf(2, 2, 20, 24, channels=3, seed=0)
+    save_lf(clean, str(d), "SAI_%02d_%02d.png")
+    return d, clean
+
+
+def test_denoise_cli_with_noise_synthesis(lf_dir, tmp_path, capsys):
+    d, clean = lf_dir
+    rc = main([
+        "denoise", "--input", str(d), "--aheight", "2", "--awidth", "2",
+        "--sigma-add", "20", "--output", str(tmp_path / "out"),
+        "--basic", str(tmp_path / "basic"), "--diff", str(tmp_path / "diff"),
+        "--json", *TINY,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psnr_final_db"] > rep["psnr_noisy_db"] + 2.0
+    out = load_lf(str(tmp_path / "out"), "SAI_%02d_%02d.png", 2, 2)
+    assert out.shape == clean.shape
+    # basic checkpoint written (SURVEY §5.4)
+    basic = load_lf(str(tmp_path / "basic"), "SAI_%02d_%02d.png", 2, 2)
+    assert basic.shape == clean.shape
+
+
+def test_denoise_cli_requires_sigma(lf_dir, tmp_path, capsys):
+    d, _ = lf_dir
+    rc = main([
+        "denoise", "--input", str(d), "--aheight", "2", "--awidth", "2",
+        "--output", str(tmp_path / "o"), *TINY,
+    ])
+    assert rc == 2
+
+
+def test_sr_cli(lf_dir, tmp_path, capsys):
+    d, clean = lf_dir
+    rc = main([
+        "sr", "--input", str(d), "--aheight", "2", "--awidth", "2",
+        "--scale", "2", "--n-iter", "2", "--output", str(tmp_path / "hr"),
+        "--checkpoint", str(tmp_path / "ck"), "--json", *TINY,
+    ])
+    assert rc == 0
+    hr = load_lf(str(tmp_path / "hr"), "SAI_%02d_%02d.png", 2, 2)
+    assert hr.shape == (2, 2, 40, 48, 3)
+    ck = load_lf(str(tmp_path / "ck" / "iter_00"), "SAI_%02d_%02d.png", 2, 2)
+    assert ck.shape == hr.shape
