@@ -30,9 +30,56 @@ def load_lf(
     a_w: int,
     s_offset: int = 0,
     t_offset: int = 0,
+    use_native: str = "auto",
 ) -> np.ndarray:
-    """Load an LF as float64 [aH, aW, H, W, C] in [0, 255] units."""
+    """Load an LF as float [aH, aW, H, W, C] in [0, 255] units.
+
+    use_native: 'auto' tries the C++ parallel PNG decoder
+    (lfbm5d_tpu.native) and falls back to PIL; 'never' forces PIL;
+    'always' raises if the native path is unavailable.
+    """
     from PIL import Image
+
+    if use_native in ("auto", "always"):
+        paths = [
+            os.path.join(directory, _pattern_name(pattern, s + s_offset, t + t_offset))
+            for s in range(a_h)
+            for t in range(a_w)
+        ]
+        if all(p.lower().endswith(".png") for p in paths):
+            try:
+                from lfbm5d_tpu import native
+
+                if native.available():
+                    probe = np.asarray(Image.open(paths[0]))
+                    h, w = probe.shape[:2]
+                    c = 1 if probe.ndim == 2 else probe.shape[2]
+                    return native.load_lf_native(paths, a_h, a_w, h, w, min(c, 3))
+            except Exception:
+                if use_native == "always":
+                    raise
+        elif use_native == "always":
+            raise RuntimeError("native loader handles PNG inputs only")
+
+    def _read_one(path):
+        # PIL silently degrades 16-bit multi-channel PNGs; prefer OpenCV.
+        try:
+            import cv2
+
+            arr = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if arr is None:
+                raise FileNotFoundError(path)
+            if arr.ndim == 3:
+                arr = arr[:, :, :3][:, :, ::-1]  # strip alpha, BGR -> RGB
+        except ImportError:
+            arr = np.asarray(Image.open(path))
+        if arr.dtype == np.uint16:
+            arr = arr.astype(np.float64) / 257.0
+        else:
+            arr = arr.astype(np.float64)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
 
     sais = []
     for s in range(a_h):
@@ -41,15 +88,7 @@ def load_lf(
             path = os.path.join(
                 directory, _pattern_name(pattern, s + s_offset, t + t_offset)
             )
-            img = Image.open(path)
-            arr = np.asarray(img)
-            if arr.dtype == np.uint16:
-                arr = arr.astype(np.float64) / 257.0
-            else:
-                arr = arr.astype(np.float64)
-            if arr.ndim == 2:
-                arr = arr[:, :, None]
-            row.append(arr)
+            row.append(_read_one(path))
         sais.append(row)
     lf = np.stack([np.stack(r, axis=0) for r in sais], axis=0)
     return lf
@@ -80,4 +119,10 @@ def save_lf(
             path = os.path.join(
                 directory, _pattern_name(pattern, s + s_offset, t + t_offset)
             )
-            Image.fromarray(out).save(path)
+            if bit_depth == 16 and out.ndim == 3:
+                # PIL has no 16-bit multi-channel PNG mode; use OpenCV (BGR)
+                import cv2
+
+                cv2.imwrite(path, out[:, :, ::-1])
+            else:
+                Image.fromarray(out).save(path)
