@@ -24,15 +24,18 @@ def denoise_batch(
     params: DenoiseParams,
     mesh: Mesh | None = None,
     dtype: str = "float32",
+    engine: str = "xla",
 ):
     """Denoise a batch of LFs [B, aH, aW, H, W, C].
 
     With a mesh, the batch axis is sharded over the mesh's single axis
     (B must be divisible by the axis size). Returns (basic, final) batches.
+    engine defaults to the XLA path: the Pallas kernels are per-LF programs
+    and are not yet vmap/shard_map-batchable.
     """
     lfs = jnp.asarray(np.asarray(lfs), jnp.dtype(dtype))
     b, a_h, a_w, h, w, c = lfs.shape
-    fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype)
+    fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     vfn = jax.vmap(lambda lf: fn(lf, sigma_c))
 
