@@ -27,12 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(k: int, nd: int, sc: int, l: int):
+def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
 
     def kernel(sy_ref, sx_ref, vals_ref, doff_ref, acc_ref):
-        i = pl.program_id(0)
+        i = pl.program_id(0) // planes  # tile index: planes share metadata
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -67,31 +67,38 @@ def _make_kernel(k: int, nd: int, sc: int, l: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nd", "bh", "bw", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nd", "bh", "bw", "planes", "interpret")
+)
 def accumulate_groups(
     vals, sy, sx, doff, bh: int, bw: int, k: int = 8, nd: int = 2,
-    interpret: bool = False,
+    planes: int = 1, interpret: bool = False,
 ):
     """Scatter-add pre-weighted patch rows into per-tile accumulator bands.
 
-    vals: [n_tiles, n_chunks, Sc*k*k, L] — each slot's weighted patch values
-      (slot-major rows of k*k pixels, SAIs on lanes). Invalid/padded slots
-      must carry zero values.
+    vals: [n_tiles*planes, n_chunks, Sc*k*k, L] — each slot's weighted patch
+      values (slot-major rows of k*k pixels, SAIs on lanes); `planes`
+      consecutive value-planes share one tile's slot metadata.
+      Invalid/padded slots must carry zero values.
     sy/sx: [n_tiles, n_chunks, Sc] int32 — superpatch origins, band-relative.
     doff:  [n_tiles, n_chunks, Sc, L] int32 — per-lane flat disparity index.
-    Returns acc bands [n_tiles, bh, bw, L].
+    Returns acc bands [n_tiles*planes, bh, bw, L].
     """
-    n_tiles, n_chunks, rows, l = vals.shape
-    sc = sy.shape[2]
-    kernel = _make_kernel(k, nd, sc, l)
+    nb, n_chunks, rows, l = vals.shape
+    n_tiles, _, sc = sy.shape
+    assert nb == n_tiles * planes
+    kernel = _make_kernel(k, nd, sc, l, planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, n_chunks),
+        grid=(nb, n_chunks),
         in_specs=[
             pl.BlockSpec((1, rows, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sc, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, sc, l),
+                lambda i, j, *_: ((i // planes) * n_chunks + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -99,10 +106,10 @@ def accumulate_groups(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, bh, bw, l), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, bh, bw, l), vals.dtype),
         interpret=interpret,
     )(
         sy, sx,
-        vals.reshape(n_tiles * n_chunks, rows, l),
+        vals.reshape(nb * n_chunks, rows, l),
         doff.reshape(n_tiles * n_chunks, sc, l),
     )

@@ -32,12 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(k: int, nd: int, sc: int, l: int):
+def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
 
     def kernel(sy_ref, sx_ref, band_ref, doff_ref, out_ref):
-        i = pl.program_id(0)
+        i = pl.program_id(0) // planes  # tile index: planes share metadata
         j = pl.program_id(1)
 
         def body(s, _):
@@ -66,31 +66,38 @@ def _make_kernel(k: int, nd: int, sc: int, l: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nd", "interpret")
+    jax.jit, static_argnames=("k", "nd", "planes", "interpret")
 )
 def extract_groups(
-    bands, sy, sx, doff, k: int = 8, nd: int = 2, interpret: bool = False
+    bands, sy, sx, doff, k: int = 8, nd: int = 2, planes: int = 1,
+    interpret: bool = False,
 ):
     """Extract group rows from A-stacked bands.
 
-    bands: [n_tiles, BH, BW, L] float32 — per-tile pixel slabs, SAIs on lanes.
+    bands: [n_tiles*planes, BH, BW, L] float32 — per-(tile, plane) pixel
+      slabs, SAIs on lanes; `planes` consecutive bands (e.g. channels) share
+      one tile's slot metadata.
     sy/sx: [n_tiles, n_chunks, Sc] int32 — superpatch origins (band-relative;
       the superpatch spans [sy, sy+k+2nd) x [sx, sx+k+2nd)).
     doff:  [n_tiles, n_chunks, Sc, L] int32 — per-lane flat disparity index
       (row-major over the (2nd+1)^2 window, as ops.distances.displacements).
-    Returns [n_tiles, n_chunks, Sc*k*k, L] group rows.
+    Returns [n_tiles*planes, n_chunks, Sc*k*k, L] group rows.
     """
-    n_tiles, bh, bw, l = bands.shape
-    n_chunks, sc = sy.shape[1], sy.shape[2]
-    kernel = _make_kernel(k, nd, sc, l)
+    nb, bh, bw, l = bands.shape
+    n_tiles, n_chunks, sc = sy.shape
+    assert nb == n_tiles * planes
+    kernel = _make_kernel(k, nd, sc, l, planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, n_chunks),
+        grid=(nb, n_chunks),
         in_specs=[
             pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sc, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, sc, l),
+                lambda i, j, *_: ((i // planes) * n_chunks + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, sc * k * k, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
@@ -102,11 +109,11 @@ def extract_groups(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles * n_chunks, sc * k * k, l), bands.dtype
+            (nb * n_chunks, sc * k * k, l), bands.dtype
         ),
         interpret=interpret,
     )(
         sy, sx, bands,
         doff.reshape(n_tiles * n_chunks, sc, l),
     )
-    return out.reshape(n_tiles, n_chunks, sc * k * k, l)
+    return out.reshape(nb, n_chunks, sc * k * k, l)

@@ -118,3 +118,59 @@ def cross_argmin(ref_plane, other_plane, k: int, nd: int):
 def self_distances_batch(planes, ys, xs, k: int, n: int):
     """vmap of `self_distances` over a leading SAI axis."""
     return jax.vmap(lambda p: self_distances(p, ys, xs, k, n))(planes)
+
+
+def _shifted_stack(plane, disps: np.ndarray, m: int):
+    """[D, H, W] stack of plane shifted by each displacement (zero-extended).
+
+    Static slices of the padded plane — a handful of large copies instead of
+    a D-iteration scan of small ops (op-execution overhead dominated the BM
+    stage on TPU; see the profiling notes in SURVEY.md §7 discussion)."""
+    hp, wp = plane.shape[-2:]
+    ext = jnp.pad(plane, [(0, 0)] * (plane.ndim - 2) + [(m, m), (m, m)])
+    return jnp.stack(
+        [
+            ext[..., m + dy : m + dy + hp, m + dx : m + dx + wp]
+            for dy, dx in disps
+        ],
+        axis=0,
+    )
+
+
+def self_distances_batched(plane, ys, xs, k: int, n: int):
+    """Displacement-batched variant of `self_distances` (identical results).
+
+    One shifted stack + one squared-diff + one box-sum + one sample instead
+    of a (2n+1)^2-step scan."""
+    disp = displacements(n)
+    stack = _shifted_stack(plane, disp, n)  # [D, Hp, Wp]
+    e = (plane[None] - stack) ** 2
+    s = lax.reduce_window(e, 0.0, lax.add, (1, k, 1), (1, 1, 1), "VALID")
+    box = lax.reduce_window(s, 0.0, lax.add, (1, 1, k), (1, 1, 1), "VALID")
+    q = jnp.round(
+        box[:, ys][:, :, xs] * (DIST_QUANT / (k * k))
+    ).astype(jnp.int32)
+    ds = q.shape[0]
+    return q.reshape(ds, -1).T  # [T, D]
+
+
+def cross_argmin_all(ref_plane, planes, k: int, nd: int, a_chunk: int = 16):
+    """First-occurrence disparity argmin maps against EVERY SAI at once.
+
+    planes: [A, Hp, Wp]. Returns [A, Hp-k+1, Wp-k+1] int32 flat displacement
+    indices (row-major window order, first occurrence on ties — matching
+    `cross_argmin`). Chunks the SAI axis to bound the [D, Ac, Hp, Wp]
+    intermediate.
+    """
+    a = planes.shape[0]
+    disp = displacements(nd)
+    outs = []
+    for a0 in range(0, a, a_chunk):
+        chunk = planes[a0 : a0 + a_chunk]  # [Ac, Hp, Wp]
+        stack = _shifted_stack(chunk, disp, nd)  # [D, Ac, Hp, Wp]
+        e = (ref_plane[None, None] - stack) ** 2
+        s = lax.reduce_window(e, 0.0, lax.add, (1, 1, k, 1), (1, 1, 1, 1), "VALID")
+        box = lax.reduce_window(s, 0.0, lax.add, (1, 1, 1, k), (1, 1, 1, 1), "VALID")
+        q = jnp.round(box * (DIST_QUANT / (k * k))).astype(jnp.int32)
+        outs.append(jnp.argmin(q, axis=0).astype(jnp.int32))  # [Ac, V0, V1]
+    return jnp.concatenate(outs, axis=0)

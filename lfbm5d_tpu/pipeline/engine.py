@@ -84,6 +84,10 @@ def build_kernel_step(
     a = a_h * a_w
     if a > _LANES:
         raise ValueError(f"angular grid {a} exceeds lane budget {_LANES}")
+    # adaptive lane width: padding the angular axis all the way to 128 lanes
+    # inflates every group-tensor pass by 128/A (5x for a 5x5 LF); round up
+    # to a sublane multiple instead.
+    lanes = max(8, _round_up(a, 8))
     if sc % n_sim:
         sc = n_sim * max(1, sc // n_sim)
     hp, wp = h + 2 * pad, w + 2 * pad
@@ -104,7 +108,7 @@ def build_kernel_step(
     def band_bytes(r, cc):
         bhh = _round_up((r - 1) * sp.p + halo, 8)
         bww = _round_up((cc - 1) * sp.p + halo, 8)
-        return bhh * bww * _LANES * 4
+        return bhh * bww * lanes * 4
 
     while cols_per_tile > 1 and band_bytes(rows_per_tile, cols_per_tile) > band_budget:
         cols_per_tile -= 1
@@ -149,19 +153,34 @@ def build_kernel_step(
     tile_oy_c = jnp.asarray(tile_oy)
     tile_ox_c = jnp.asarray(tile_ox)
     tile_groups_c = jnp.asarray(tile_groups)  # [nT, tt_pad]
-    # slot tables per tile: (group-major, n-minor), chunked
-    slot_n_c = jnp.asarray(
-        np.tile(np.arange(n_sim, dtype=np.int32), tt_pad).reshape(cpt, sc)
-    )
+    # flat slot index per (tile, chunk, slot): group_id * N + n — static, so
+    # all per-ref-SAI slot metadata is fetched with ONE fast row-gather in
+    # tile order instead of per-tile advanced indexing (XLA's generic gather
+    # runs at per-element speed on TPU).
+    slot_n_np = np.tile(np.arange(n_sim, dtype=np.int32), tt_pad)
+    slot_flat = (
+        np.repeat(tile_groups, n_sim, axis=1) * n_sim + slot_n_np[None, :]
+    )  # [nT, tt_pad * n_sim]
+    slot_flat_c = jnp.asarray(slot_flat.reshape(-1))  # [nT*cpt*sc]
     kaiser_flat = jnp.asarray(tm.kaiser_window(k).reshape(-1), dtype=dt)  # [64]
-    ft = FlatTransforms.build(sp, a_h, a_w, _LANES, dtype=dt)
+    ft = FlatTransforms.build(sp, a_h, a_w, lanes, dtype=dt)
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
+    # tiles per kernel batch, bounded by transient group memory (~6 live
+    # copies of the per-tile group tensor across extract/transform/vals)
+    tile_group_bytes = n_planes * tt_pad * n_sim * 64 * lanes * 4
+    # scalar-prefetch (sy/sx) lives in 1MB SMEM; cap the batch accordingly
+    smem_per_tile = 2 * cpt * sc * 4
+    tiles_per_batch = min(
+        n_tiles,
+        max(1, int(1.5e9 / max(tile_group_bytes * 6, 1))),
+        max(1, 350_000 // max(smem_per_tile, 1)),
+    )
 
     def to_table(xp):
         """[A, Hp, Wp, C] -> A-on-lanes tables [C, Hp2, Wp2, L]."""
         t = jnp.transpose(xp, (3, 1, 2, 0)).astype(dt)
         return jnp.pad(
-            t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, _LANES - a))
+            t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, lanes - a))
         )
 
     def step(noisy_p, match_p, sigma_c, basic_p):
@@ -170,8 +189,23 @@ def build_kernel_step(
         tab_b = to_table(basic_p) if wiener else None
         sigma_c = sigma_c.astype(dt)
 
-        num0 = jnp.zeros((c, hp2, wp2, _LANES), dt)
-        den0 = jnp.zeros((c, hp2, wp2, _LANES), dt)
+        # bands are ref-SAI-invariant: build every batch's kernel input once
+        # per step, outside the scan (tile-major, plane-minor ordering)
+        bands_by_batch = []
+        for b0 in range(0, n_tiles, tiles_per_batch):
+            b1 = min(n_tiles, b0 + tiles_per_batch)
+            band_list = []
+            for ti in range(b0, b1):
+                oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
+                band_list.append(tab[:, oy : oy + bh, ox : ox + bw, :])
+                if wiener:
+                    band_list.append(tab_b[:, oy : oy + bh, ox : ox + bw, :])
+            bands_by_batch.append(jnp.concatenate(band_list, axis=0))
+
+        num0 = jnp.zeros((c, hp2, wp2, lanes), dt)
+        den0 = jnp.zeros((c, hp2, wp2, lanes), dt)
+
+        v1 = wp - k + 1
 
         def ref_pass(carry, r):
             num, den = carry
@@ -183,12 +217,15 @@ def build_kernel_step(
             sim_x = pos_x[:, None] + off[..., 1]
 
             def per_a(_, ai):
-                bidx = cross_argmin(ref0, match0[ai], k, nd)
-                return _, bidx[sim_y, sim_x]
+                return _, cross_argmin(ref0, match0[ai], k, nd)
 
-            _, ang = lax.scan(per_a, 0, jnp.arange(a))
-            ang = jnp.where((jnp.arange(a) == r)[:, None, None], c_ang, ang)
-            ang = jnp.transpose(ang, (1, 2, 0))  # [T, N, A]
+            _, bidx_all = lax.scan(per_a, 0, jnp.arange(a))  # [A, V0, V1]
+            # ONE row-gather at the similar-patch positions for every SAI
+            flat_pos = (sim_y * v1 + sim_x).reshape(-1)  # [T*N]
+            ang = jnp.take(
+                bidx_all.reshape(a, -1).T, flat_pos, axis=0
+            ).reshape(t_count, n_sim, a)
+            ang = jnp.where(jnp.arange(a)[None, None, :] == r, c_ang, ang)
 
             # dummy slot at index T for tile padding
             sim_y_p = jnp.concatenate([sim_y, jnp.full((1, n_sim), pad, jnp.int32)])
@@ -199,51 +236,67 @@ def build_kernel_step(
                 [ang, jnp.full((1, n_sim, a), c_ang, ang.dtype)]
             )
 
-            def tile_body(ti, carry2):
-                num, den = carry2
-                oy = tile_oy_c[ti]
-                ox = tile_ox_c[ti]
-                groups = tile_groups_c[ti]  # [tt_pad] group ids (T = dummy)
-                st = groups.reshape(cpt, gpc)  # chunk-major groups
-                st_full = jnp.repeat(st, n_sim, axis=1)  # [cpt, sc]
-                sn = slot_n_c  # [cpt, sc]
+            # one row-gather per ref-SAI fetches every tile's slot metadata
+            qy_all = jnp.take(sim_y_p.reshape(-1), slot_flat_c).reshape(
+                n_tiles, cpt, sc
+            )
+            qx_all = jnp.take(sim_x_p.reshape(-1), slot_flat_c).reshape(
+                n_tiles, cpt, sc
+            )
+            doff_all = jnp.take(
+                ang_p.reshape(-1, a), slot_flat_c, axis=0
+            ).reshape(n_tiles, cpt, sc, a)
+            doff_all = jnp.pad(
+                doff_all, ((0, 0), (0, 0), (0, 0), (0, lanes - a)),
+                constant_values=c_ang,
+            )
+            glvl_all = jnp.take(lvl_p, tile_groups_c.reshape(-1)).reshape(
+                n_tiles, tt_pad
+            )
+            smask_all = jnp.take(
+                mask_p, tile_groups_c.reshape(-1), axis=0
+            ).reshape(n_tiles, tt_pad, n_sim)
 
-                qy = sim_y_p[st_full, sn]
-                qx = sim_x_p[st_full, sn]
-                sy = jnp.clip(qy - nd - oy, 0, bh - sk)
-                sx = jnp.clip(qx - nd - ox, 0, bw - sk)
-                doff = ang_p[st_full, sn, :]  # [cpt, sc, A]
-                doff = jnp.pad(
-                    doff, ((0, 0), (0, 0), (0, _LANES - a)),
-                    constant_values=c_ang,
-                )
+            # positions relative to each (static) tile origin
+            sy_all = jnp.clip(
+                qy_all - nd - tile_oy_c[:, None, None], 0, bh - sk
+            )
+            sx_all = jnp.clip(
+                qx_all - nd - tile_ox_c[:, None, None], 0, bw - sk
+            )
 
-                bands = lax.dynamic_slice(
-                    tab, (jnp.int32(0), oy, ox, jnp.int32(0)), (c, bh, bw, _LANES)
-                )
-                if wiener:
-                    bands_b = lax.dynamic_slice(
-                        tab_b, (jnp.int32(0), oy, ox, jnp.int32(0)), (c, bh, bw, _LANES)
-                    )
-                    bands = jnp.concatenate([bands, bands_b], axis=0)
-
-                def bc(x):
-                    return jnp.broadcast_to(x, (n_planes,) + x.shape)
+            # --- tile batches: one extract / transform / accumulate call per
+            # batch (static band slices, no per-tile loop — the per-iteration
+            # dispatch overhead of a fori over tiles dominated the runtime)
+            for bi, b0 in enumerate(range(0, n_tiles, tiles_per_batch)):
+                b1 = min(n_tiles, b0 + tiles_per_batch)
+                tb = b1 - b0
+                sy_b = sy_all[b0:b1]
+                sx_b = sx_all[b0:b1]
+                doff_b = doff_all[b0:b1]
 
                 grp = extract_groups(
-                    bands, bc(sy), bc(sx), bc(doff), k, nd, interpret=interpret
-                )  # [n_planes, cpt, sc*64, L]
-                grp = grp.reshape(n_planes, tt_pad, n_sim, k * k, _LANES)
+                    bands_by_batch[bi], sy_b, sx_b, doff_b, k, nd,
+                    planes=n_planes, interpret=interpret,
+                )  # [tb*n_planes, cpt, sc*64, L]
+                grp = grp.reshape(tb, n_planes, tt_pad, n_sim, k * k, lanes)
 
-                glvl = lvl_p[groups]  # [tt_pad]
-                lvl_b = jnp.tile(glvl, c)  # [c*tt_pad]
+                glvl = glvl_all[b0:b1]  # [tb, tt_pad]
+                lvl_b = jnp.broadcast_to(
+                    glvl[:, None, :], (tb, c, tt_pad)
+                ).reshape(-1)
+                sig_b = jnp.broadcast_to(
+                    sigma_c[None, :, None], (tb, c, tt_pad)
+                ).reshape(-1)[:, None, None, None]
                 spec = forward_flat(
-                    grp[:c].reshape(c * tt_pad, n_sim, k * k, _LANES), lvl_b, ft
+                    grp[:, :c].reshape(tb * c * tt_pad, n_sim, k * k, lanes),
+                    lvl_b, ft,
                 )
-                sig_b = jnp.repeat(sigma_c, tt_pad)[:, None, None, None]
                 if wiener:
                     spec_b = forward_flat(
-                        grp[c:].reshape(c * tt_pad, n_sim, k * k, _LANES),
+                        grp[:, c:].reshape(
+                            tb * c * tt_pad, n_sim, k * k, lanes
+                        ),
                         lvl_b, ft,
                     )
                     b2 = spec_b**2
@@ -252,7 +305,8 @@ def build_kernel_step(
                     wsum = jnp.sum(wien**2, axis=(1, 2, 3))
                     wgt = jnp.where(
                         wsum > 0,
-                        1.0 / (sig_b[:, 0, 0, 0] ** 2 * jnp.maximum(wsum, 1e-30)),
+                        1.0
+                        / (sig_b[:, 0, 0, 0] ** 2 * jnp.maximum(wsum, 1e-30)),
                         1.0,
                     )
                 else:
@@ -262,52 +316,45 @@ def build_kernel_step(
                     nnz = jnp.sum(keep, axis=(1, 2, 3)).astype(dt)
                     wgt = jnp.where(
                         nnz > 0,
-                        1.0 / (sig_b[:, 0, 0, 0] ** 2 * jnp.maximum(nnz, 1.0)),
+                        1.0
+                        / (sig_b[:, 0, 0, 0] ** 2 * jnp.maximum(nnz, 1.0)),
                         1.0,
                     )
                 est = inverse_flat(filt, lvl_b, ft)
-                est = est.reshape(c, tt_pad, n_sim, k * k, _LANES)
+                est = est.reshape(tb, c, tt_pad, n_sim, k * k, lanes)
                 if sp.use_sd:
-                    cnt = ((1 << glvl) * a * k * k).astype(dt)[None, :, None]
-                    s1 = jnp.sum(est, axis=(2, 3, 4))
-                    s2 = jnp.sum(est**2, axis=(2, 3, 4))
-                    mean = s1 / cnt
+                    cnt = ((1 << glvl) * a * k * k).astype(dt)[:, None, :]
+                    s1 = jnp.sum(est, axis=(3, 4, 5))
+                    s2 = jnp.sum(est**2, axis=(3, 4, 5))
+                    mean = s1 / cnt[..., :]
                     var = s2 / cnt - mean**2
-                    wgt = jnp.where(
-                        var > 0, 1.0 / jnp.maximum(var, 1e-30), 1.0
-                    ).reshape(c * tt_pad)
+                    wgt = jnp.where(var > 0, 1.0 / jnp.maximum(var, 1e-30), 1.0)
 
-                wgt = wgt.reshape(c, tt_pad)
-                smask = mask_p[groups].astype(dt)  # [tt_pad, N]
+                wgt = wgt.reshape(tb, c, tt_pad)
+                smask = smask_all[b0:b1].astype(dt)  # [tb, tt_pad, N]
                 wk = (
-                    wgt[:, :, None, None]
-                    * smask[None, :, :, None]
-                    * kaiser_flat[None, None, None, :]
-                )  # [c, tt_pad, N, 64]
+                    wgt[:, :, :, None, None]
+                    * smask[:, None, :, :, None]
+                    * kaiser_flat[None, None, None, None, :]
+                )  # [tb, c, tt_pad, N, 64]
                 num_vals = est * wk[..., None]
                 den_vals = jnp.broadcast_to(wk[..., None], est.shape)
-                vals = jnp.concatenate([num_vals, den_vals], axis=0)
-                vals = vals.reshape(2 * c, cpt, sc * k * k, _LANES)
-
-                def bc2(x):
-                    return jnp.broadcast_to(x, (2 * c,) + x.shape)
+                vals = jnp.concatenate([num_vals, den_vals], axis=1)
+                vals = vals.reshape(tb * 2 * c, cpt, sc * k * k, lanes)
 
                 bands_out = accumulate_groups(
-                    vals, bc2(sy), bc2(sx), bc2(doff), bh, bw, k, nd,
-                    interpret=interpret,
-                )  # [2c, bh, bw, L]
+                    vals, sy_b, sx_b, doff_b, bh, bw, k, nd,
+                    planes=2 * c, interpret=interpret,
+                ).reshape(tb, 2 * c, bh, bw, lanes)
 
-                cur_n = lax.dynamic_slice(num, (jnp.int32(0), oy, ox, jnp.int32(0)), (c, bh, bw, _LANES))
-                num = lax.dynamic_update_slice(
-                    num, cur_n + bands_out[:c], (jnp.int32(0), oy, ox, jnp.int32(0))
-                )
-                cur_d = lax.dynamic_slice(den, (jnp.int32(0), oy, ox, jnp.int32(0)), (c, bh, bw, _LANES))
-                den = lax.dynamic_update_slice(
-                    den, cur_d + bands_out[c:], (jnp.int32(0), oy, ox, jnp.int32(0))
-                )
-                return num, den
-
-            num, den = lax.fori_loop(0, n_tiles, tile_body, (num, den))
+                for i, ti in enumerate(range(b0, b1)):
+                    oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
+                    num = num.at[:, oy : oy + bh, ox : ox + bw, :].add(
+                        bands_out[i, :c]
+                    )
+                    den = den.at[:, oy : oy + bh, ox : ox + bw, :].add(
+                        bands_out[i, c:]
+                    )
             return (num, den), None
 
         (num, den), _ = lax.scan(ref_pass, (num0, den0), jnp.arange(a))
