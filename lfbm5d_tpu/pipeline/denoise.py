@@ -174,9 +174,16 @@ def _build_step(
     return step
 
 
-def _resolve_engine(engine: str) -> str:
-    """'auto' -> the Pallas kernel engine on TPU, the XLA path elsewhere."""
+def _resolve_engine(engine: str, a: int = 0) -> str:
+    """'auto' -> the Pallas kernel engine on TPU, the XLA path elsewhere.
+
+    Angular grids beyond 128 SAIs (e.g. 17x17 HCI) exceed the kernel
+    engine's lane budget and fall back to the XLA path until the
+    lane-banked variant lands.
+    """
     if engine == "auto":
+        if a > 128:
+            return "xla"
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return engine
 
@@ -185,7 +192,7 @@ def _resolve_engine(engine: str) -> str:
 def _raw_step(
     sp, lambda_3d, a_h, a_w, h, w, c, chunk, wiener, dtype, engine
 ):
-    engine = _resolve_engine(engine)
+    engine = _resolve_engine(engine, a_h * a_w)
     if engine == "pallas":
         from lfbm5d_tpu.pipeline.engine import build_kernel_step
 
@@ -321,7 +328,7 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
     lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
     a_h, a_w, h, w, c = lf.shape
     fn = _build_denoise_jit(
-        params, a_h, a_w, h, w, c, dtype, _resolve_engine(engine)
+        params, a_h, a_w, h, w, c, dtype, _resolve_engine(engine, a_h * a_w)
     )
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     return fn(lf, sigma_c)
