@@ -103,7 +103,7 @@ def build_kernel_step(
     # the band block (tile extent + 2(n+nd) + k + 2nd each way) must leave
     # room for the streaming idx/out blocks and their double buffers.
     halo = 2 * (n + nd) + k + 2 * nd
-    band_budget = 3_500_000  # bytes
+    band_budget = 4_500_000  # bytes
 
     def band_bytes(r, cc):
         bhh = _round_up((r - 1) * sp.p + halo, 8)
