@@ -13,8 +13,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def add_noise_np(lf: np.ndarray, sigma: float, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
+def add_noise_np(
+    lf: np.ndarray, sigma: float, seed: int = 0, rng_kind: str = "pcg64"
+) -> np.ndarray:
+    """AWGN of std `sigma`. rng_kind='mt19937' uses the Mersenne Twister
+    (the reference's RNG family, component #7) for lineage parity; the
+    default PCG64 is numpy's modern generator."""
+    if rng_kind == "mt19937":
+        rng = np.random.Generator(np.random.MT19937(seed))
+    else:
+        rng = np.random.default_rng(seed)
     out = np.asarray(lf, dtype=np.float64) + sigma * rng.standard_normal(lf.shape)
     return out
 
