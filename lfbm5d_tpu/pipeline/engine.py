@@ -172,7 +172,7 @@ def build_kernel_step(
     smem_per_tile = 2 * cpt * sc * 4
     tiles_per_batch = min(
         n_tiles,
-        max(1, int(1.5e9 / max(tile_group_bytes * 6, 1))),
+        max(1, int(3.5e9 / max(tile_group_bytes * 4, 1))),
         max(1, 350_000 // max(smem_per_tile, 1)),
     )
 
@@ -220,12 +220,18 @@ def build_kernel_step(
                 return _, cross_argmin(ref0, match0[ai], k, nd)
 
             _, bidx_all = lax.scan(per_a, 0, jnp.arange(a))  # [A, V0, V1]
-            # ONE row-gather at the similar-patch positions for every SAI
+            # Pad the angular axis to the lane width on the MAJOR dim before
+            # transposing (a minor-dim pad afterwards measured ~1 GB/s), then
+            # ONE row-gather at the similar-patch positions for every SAI.
+            bidx_flat = jnp.pad(
+                bidx_all.reshape(a, -1), ((0, lanes - a), (0, 0)),
+                constant_values=c_ang,
+            ).T  # [V, lanes]
             flat_pos = (sim_y * v1 + sim_x).reshape(-1)  # [T*N]
-            ang = jnp.take(
-                bidx_all.reshape(a, -1).T, flat_pos, axis=0
-            ).reshape(t_count, n_sim, a)
-            ang = jnp.where(jnp.arange(a)[None, None, :] == r, c_ang, ang)
+            ang = jnp.take(bidx_flat, flat_pos, axis=0).reshape(
+                t_count, n_sim, lanes
+            )
+            ang = jnp.where(jnp.arange(lanes)[None, None, :] == r, c_ang, ang)
 
             # dummy slot at index T for tile padding
             sim_y_p = jnp.concatenate([sim_y, jnp.full((1, n_sim), pad, jnp.int32)])
@@ -233,7 +239,7 @@ def build_kernel_step(
             lvl_p = jnp.concatenate([lvl, jnp.zeros((1,), lvl.dtype)])
             mask_p = jnp.concatenate([mask, jnp.zeros((1, n_sim), bool)])
             ang_p = jnp.concatenate(
-                [ang, jnp.full((1, n_sim, a), c_ang, ang.dtype)]
+                [ang, jnp.full((1, n_sim, lanes), c_ang, ang.dtype)]
             )
 
             # one row-gather per ref-SAI fetches every tile's slot metadata
@@ -244,12 +250,8 @@ def build_kernel_step(
                 n_tiles, cpt, sc
             )
             doff_all = jnp.take(
-                ang_p.reshape(-1, a), slot_flat_c, axis=0
-            ).reshape(n_tiles, cpt, sc, a)
-            doff_all = jnp.pad(
-                doff_all, ((0, 0), (0, 0), (0, 0), (0, lanes - a)),
-                constant_values=c_ang,
-            )
+                ang_p.reshape(-1, lanes), slot_flat_c, axis=0
+            ).reshape(n_tiles, cpt, sc, lanes)
             glvl_all = jnp.take(lvl_p, tile_groups_c.reshape(-1)).reshape(
                 n_tiles, tt_pad
             )
