@@ -25,6 +25,19 @@ def params(sigma=20.0, **kw):
     )
 
 
+def test_pallas_engine_f64_matches_oracle():
+    """The kernel path is oracle-exact, not merely xla-path-equivalent."""
+    from lfbm5d_tpu.oracle import oracle_denoise
+
+    clean = synthetic_lf(2, 2, 20, 24, channels=1, seed=0)
+    noisy = add_noise_np(clean, 20.0, seed=1)
+    p = params()
+    ob, of = oracle_denoise(noisy, p)
+    bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
+    assert np.abs(ob - np.asarray(bp)).max() < 1e-9
+    assert np.abs(of - np.asarray(fp)).max() < 1e-9
+
+
 def test_engines_agree_gray():
     clean = synthetic_lf(2, 2, 20, 24, channels=1, seed=0)
     noisy = add_noise_np(clean, 20.0, seed=1)
