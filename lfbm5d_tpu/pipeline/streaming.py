@@ -37,6 +37,22 @@ def denoise_batch(
     b, a_h, a_w, h, w, c = lfs.shape
     fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+
+    if engine == "pallas":
+        # Pallas programs are per-LF and not vmap-batchable; stream the
+        # batch sequentially through one compiled program instead.
+        if mesh is not None:
+            raise ValueError(
+                "engine='pallas' streams sequentially; mesh sharding uses "
+                "the XLA engine (engine='xla')"
+            )
+        jfn = jax.jit(fn)
+        outs = [jfn(lfs[i], sigma_c) for i in range(b)]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
+
     vfn = jax.vmap(lambda lf: fn(lf, sigma_c))
 
     if mesh is None:
