@@ -98,9 +98,14 @@ def cmd_denoise(ns) -> int:
     from lfbm5d_tpu.utils.timing import StageTimer
 
     timer = StageTimer()
-    with timer.stage("load"):
-        lf = load_lf(ns.input, ns.pattern, ns.aheight, ns.awidth,
-                     ns.s_offset, ns.t_offset)
+    try:
+        with timer.stage("load"):
+            lf = load_lf(ns.input, ns.pattern, ns.aheight, ns.awidth,
+                         ns.s_offset, ns.t_offset)
+    except (FileNotFoundError, IOError) as e:
+        print(f"error: cannot load light field from {ns.input!r}: {e}",
+              file=sys.stderr)
+        return 2
     clean = None
     if ns.sigma_add is not None:
         clean = lf
@@ -157,9 +162,14 @@ def cmd_sr(ns) -> int:
     from lfbm5d_tpu.utils.timing import StageTimer
 
     timer = StageTimer()
-    with timer.stage("load"):
-        lf = load_lf(ns.input, ns.pattern, ns.aheight, ns.awidth,
-                     ns.s_offset, ns.t_offset)
+    try:
+        with timer.stage("load"):
+            lf = load_lf(ns.input, ns.pattern, ns.aheight, ns.awidth,
+                         ns.s_offset, ns.t_offset)
+    except (FileNotFoundError, IOError) as e:
+        print(f"error: cannot load light field from {ns.input!r}: {e}",
+              file=sys.stderr)
+        return 2
     params = SRParams(
         scale=ns.scale, n_iter=ns.n_iter, sigma_init=ns.sigma_init,
         sigma_final=ns.sigma_final, color_space=ns.color_space,
