@@ -339,23 +339,31 @@ def build_kernel_step(
                     * smask[:, None, :, :, None]
                     * kaiser_flat[None, None, None, None, :]
                 )  # [tb, c, tt_pad, N, 64]
-                num_vals = est * wk[..., None]
-                den_vals = jnp.broadcast_to(wk[..., None], est.shape)
-                vals = jnp.concatenate([num_vals, den_vals], axis=1)
-                vals = vals.reshape(tb * 2 * c, cpt, sc * k * k, lanes)
-
-                bands_out = accumulate_groups(
-                    vals, sy_b, sx_b, doff_b, bh, bw, k, nd,
-                    planes=2 * c, interpret=interpret,
-                ).reshape(tb, 2 * c, bh, bw, lanes)
+                # separate num/den accumulate calls: concatenating them into
+                # one vals tensor showed up as the hottest per-batch fusion
+                # in the device trace (group-sized materializing copy)
+                num_vals = (est * wk[..., None]).reshape(
+                    tb * c, cpt, sc * k * k, lanes
+                )
+                den_vals = jnp.broadcast_to(wk[..., None], est.shape).reshape(
+                    tb * c, cpt, sc * k * k, lanes
+                )
+                nb_out = accumulate_groups(
+                    num_vals, sy_b, sx_b, doff_b, bh, bw, k, nd,
+                    planes=c, interpret=interpret,
+                ).reshape(tb, c, bh, bw, lanes)
+                db_out = accumulate_groups(
+                    den_vals, sy_b, sx_b, doff_b, bh, bw, k, nd,
+                    planes=c, interpret=interpret,
+                ).reshape(tb, c, bh, bw, lanes)
 
                 for i, ti in enumerate(range(b0, b1)):
                     oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
                     num = num.at[:, oy : oy + bh, ox : ox + bw, :].add(
-                        bands_out[i, :c]
+                        nb_out[i]
                     )
                     den = den.at[:, oy : oy + bh, ox : ox + bw, :].add(
-                        bands_out[i, c:]
+                        db_out[i]
                     )
             return (num, den), None
 
