@@ -28,6 +28,31 @@ def test_sigma_schedule_decreasing():
     assert s[0] == 12.0 and s[-1] == 2.0 and np.all(np.diff(s) < 0)
 
 
+def test_sr_engines_agree():
+    import jax.numpy as jnp
+
+    clean = synthetic_lf(2, 2, 24, 24, channels=1, disp_bg=1, seed=7)
+    lr = np.asarray(downsample(jnp.asarray(clean), 2))
+    params = SRParams(
+        scale=2, n_iter=2, sigma_init=6.0, sigma_final=2.0,
+        ht=StepParams(tau_match=2500.0, **TINY),
+        wiener=StepParams(tau_match=400.0, **TINY), chunk=32,
+    )
+    from lfbm5d_tpu.pipeline.sr import run_sr as _run_sr
+
+    import lfbm5d_tpu.pipeline.denoise as dn
+
+    hx = np.asarray(_run_sr(lr, params))  # engine auto -> xla on CPU
+    # force the kernel engine through the same schedule
+    orig = dn._resolve_engine
+    dn._resolve_engine = lambda e, a=0: "pallas"
+    try:
+        hp = np.asarray(_run_sr(lr, params))
+    finally:
+        dn._resolve_engine = orig
+    np.testing.assert_allclose(hx, hp, atol=5e-3)
+
+
 def test_sr_beats_bicubic():
     clean = synthetic_lf(2, 2, 32, 32, channels=1, disp_bg=1, disp_fg=2, seed=1)
     import jax.numpy as jnp
