@@ -56,13 +56,34 @@ def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
     g.add_argument(f"--{prefix}-usesd", action="store_true")
 
 
+_PRESETS = {
+    # reference-default parameters (SURVEY.md §2.9)
+    "default": {},
+    # throughput preset: coarser reference grid, smaller windows
+    "fast": dict(nsim=8, nsearch=8, ndisp=2, p=6),
+}
+
+
 def _step_params(ns, prefix: str) -> StepParams:
-    g = lambda name: getattr(ns, f"{prefix}_{name}")
+    over = _PRESETS[ns.preset]
+
+    def g(name):
+        val = getattr(ns, f"{prefix}_{name}")
+        default = _STEP_DEFAULTS[name]
+        # explicit per-step flags win over the preset
+        return val if val != default else over.get(name, val)
+
     return StepParams(
         n_sim=g("nsim"), n_search=g("nsearch"), n_disp=g("ndisp"),
         k=g("k"), p=g("p"), tau_2d=g("tau2d"), tau_4d=g("tau4d"),
         tau_5d=g("tau5d"), tau_match=g("taumatch"), use_sd=g("usesd"),
     )
+
+
+_STEP_DEFAULTS = dict(
+    nsim=16, nsearch=16, ndisp=2, k=8, p=3, tau2d="dct", tau4d="dct",
+    tau5d="haar", taumatch=None, usesd=False,
+)
 
 
 def _common_io_args(ap):
@@ -79,6 +100,9 @@ def _common_io_args(ap):
                     choices=["opp", "yuv", "ycbcr", "rgb"])
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "xla"])
+    ap.add_argument("--preset", default="default",
+                    choices=sorted(_PRESETS),
+                    help="parameter preset; explicit per-step flags override")
     ap.add_argument("--json", action="store_true",
                     help="emit a structured JSON report on stdout")
 
@@ -151,6 +175,14 @@ def cmd_denoise(ns) -> int:
         report["psnr_basic_db"] = round(psnr(np.clip(basic, 0, 255), clean), 3)
         report["psnr_final_db"] = round(psnr(np.clip(final, 0, 255), clean), 3)
         report["rmse_final"] = round(rmse(np.clip(final, 0, 255), clean), 4)
+        if ns.per_sai_psnr:
+            report["psnr_per_sai_db"] = [
+                [
+                    round(psnr(np.clip(final[s, t], 0, 255), clean[s, t]), 2)
+                    for t in range(final.shape[1])
+                ]
+                for s in range(final.shape[0])
+            ]
     _log(ns, report)
     return 0
 
@@ -220,6 +252,8 @@ def main(argv=None) -> int:
                     help="basic (post-HT) LF directory — the between-steps "
                     "checkpoint")
     dn.add_argument("--diff", default=None, help="difference LF directory")
+    dn.add_argument("--per-sai-psnr", action="store_true",
+                    help="include the per-SAI PSNR grid in the report")
     _step_args(dn, "ht", 2500.0)
     _step_args(dn, "wien", 400.0)
     dn.set_defaults(fn=cmd_denoise)
