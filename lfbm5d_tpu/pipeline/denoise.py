@@ -177,13 +177,12 @@ def _build_step(
 def _resolve_engine(engine: str, a: int = 0) -> str:
     """'auto' -> the Pallas kernel engine on TPU, the XLA path elsewhere.
 
-    Angular grids beyond 128 SAIs (e.g. 17x17 HCI) exceed the kernel
-    engine's lane budget and fall back to the XLA path until the
-    lane-banked variant lands.
+    Angular grids beyond 128 SAIs (e.g. 17x17 HCI) widen the kernel
+    engine's lane axis past one vector register; the kernels handle this
+    (Mosaic masks the trailing vregs), so no fallback is needed.
     """
+    del a
     if engine == "auto":
-        if a > 128:
-            return "xla"
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return engine
 

@@ -82,12 +82,24 @@ def build_kernel_step(
     """
     k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
     a = a_h * a_w
-    if a > _LANES:
-        raise ValueError(f"angular grid {a} exceeds lane budget {_LANES}")
-    # adaptive lane width: padding the angular axis all the way to 128 lanes
+    # Adaptive lane width: padding the angular axis all the way to 128 lanes
     # inflates every group-tensor pass by 128/A (5x for a 5x5 LF); round up
-    # to a sublane multiple instead.
-    lanes = max(8, _round_up(a, 8))
+    # to a sublane multiple instead. Angular grids beyond 128 SAIs (17x17
+    # HCI = 289) split into 128-lane BANKS: Mosaic cannot compile unaligned
+    # dynamic sublane slices once the minor dim spans >1 lane tile (measured:
+    # "cannot statically prove index in dimension 2 is a multiple of 8"), so
+    # the kernels run per (tile, bank) slab — reusing their `planes` metadata
+    # mapping unchanged — and the banks join on the lane axis in XLA for the
+    # angular transform.
+    if a <= _LANES:
+        banks, kl = 1, max(8, _round_up(a, 8))
+    else:
+        banks = _cdiv(a, _LANES)
+        kl = _LANES
+    a_pad = banks * kl
+    # keep the streamed out/vals VMEM blocks (sc*k*k x kl) bounded
+    while sc > n_sim and sc * k * k * kl * 4 > 2_200_000:
+        sc //= 2
     if sc % n_sim:
         sc = n_sim * max(1, sc // n_sim)
     hp, wp = h + 2 * pad, w + 2 * pad
@@ -108,7 +120,7 @@ def build_kernel_step(
     def band_bytes(r, cc):
         bhh = _round_up((r - 1) * sp.p + halo, 8)
         bww = _round_up((cc - 1) * sp.p + halo, 8)
-        return bhh * bww * lanes * 4
+        return bhh * bww * kl * 4  # per-bank band slab
 
     while cols_per_tile > 1 and band_bytes(rows_per_tile, cols_per_tile) > band_budget:
         cols_per_tile -= 1
@@ -163,13 +175,13 @@ def build_kernel_step(
     )  # [nT, tt_pad * n_sim]
     slot_flat_c = jnp.asarray(slot_flat.reshape(-1))  # [nT*cpt*sc]
     kaiser_flat = jnp.asarray(tm.kaiser_window(k).reshape(-1), dtype=dt)  # [64]
-    ft = FlatTransforms.build(sp, a_h, a_w, lanes, dtype=dt)
+    ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=dt)
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
-    tile_group_bytes = n_planes * tt_pad * n_sim * 64 * lanes * 4
+    tile_group_bytes = n_planes * tt_pad * n_sim * 64 * a_pad * 4
     # scalar-prefetch (sy/sx) lives in 1MB SMEM; cap the batch accordingly
-    smem_per_tile = 2 * cpt * sc * 4
+    smem_per_tile = 2 * cpt * sc * 4 * banks
     tiles_per_batch = min(
         n_tiles,
         max(1, int(3.5e9 / max(tile_group_bytes * 4, 1))),
@@ -180,7 +192,7 @@ def build_kernel_step(
         """[A, Hp, Wp, C] -> A-on-lanes tables [C, Hp2, Wp2, L]."""
         t = jnp.transpose(xp, (3, 1, 2, 0)).astype(dt)
         return jnp.pad(
-            t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, lanes - a))
+            t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, a_pad - a))
         )
 
     def step(noisy_p, match_p, sigma_c, basic_p):
@@ -197,13 +209,19 @@ def build_kernel_step(
             band_list = []
             for ti in range(b0, b1):
                 oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
-                band_list.append(tab[:, oy : oy + bh, ox : ox + bw, :])
-                if wiener:
-                    band_list.append(tab_b[:, oy : oy + bh, ox : ox + bw, :])
+                for bk in range(banks):
+                    l0 = bk * kl
+                    band_list.append(
+                        tab[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
+                    )
+                    if wiener:
+                        band_list.append(
+                            tab_b[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
+                        )
             bands_by_batch.append(jnp.concatenate(band_list, axis=0))
 
-        num0 = jnp.zeros((c, hp2, wp2, lanes), dt)
-        den0 = jnp.zeros((c, hp2, wp2, lanes), dt)
+        num0 = jnp.zeros((c, hp2, wp2, a_pad), dt)
+        den0 = jnp.zeros((c, hp2, wp2, a_pad), dt)
 
         v1 = wp - k + 1
 
@@ -224,14 +242,14 @@ def build_kernel_step(
             # transposing (a minor-dim pad afterwards measured ~1 GB/s), then
             # ONE row-gather at the similar-patch positions for every SAI.
             bidx_flat = jnp.pad(
-                bidx_all.reshape(a, -1), ((0, lanes - a), (0, 0)),
+                bidx_all.reshape(a, -1), ((0, a_pad - a), (0, 0)),
                 constant_values=c_ang,
-            ).T  # [V, lanes]
+            ).T  # [V, a_pad]
             flat_pos = (sim_y * v1 + sim_x).reshape(-1)  # [T*N]
             ang = jnp.take(bidx_flat, flat_pos, axis=0).reshape(
-                t_count, n_sim, lanes
+                t_count, n_sim, a_pad
             )
-            ang = jnp.where(jnp.arange(lanes)[None, None, :] == r, c_ang, ang)
+            ang = jnp.where(jnp.arange(a_pad)[None, None, :] == r, c_ang, ang)
 
             # dummy slot at index T for tile padding
             sim_y_p = jnp.concatenate([sim_y, jnp.full((1, n_sim), pad, jnp.int32)])
@@ -239,7 +257,7 @@ def build_kernel_step(
             lvl_p = jnp.concatenate([lvl, jnp.zeros((1,), lvl.dtype)])
             mask_p = jnp.concatenate([mask, jnp.zeros((1, n_sim), bool)])
             ang_p = jnp.concatenate(
-                [ang, jnp.full((1, n_sim, lanes), c_ang, ang.dtype)]
+                [ang, jnp.full((1, n_sim, a_pad), c_ang, ang.dtype)]
             )
 
             # one row-gather per ref-SAI fetches every tile's slot metadata
@@ -250,8 +268,8 @@ def build_kernel_step(
                 n_tiles, cpt, sc
             )
             doff_all = jnp.take(
-                ang_p.reshape(-1, lanes), slot_flat_c, axis=0
-            ).reshape(n_tiles, cpt, sc, lanes)
+                ang_p.reshape(-1, a_pad), slot_flat_c, axis=0
+            ).reshape(n_tiles, cpt, sc, a_pad)
             glvl_all = jnp.take(lvl_p, tile_groups_c.reshape(-1)).reshape(
                 n_tiles, tt_pad
             )
@@ -276,12 +294,23 @@ def build_kernel_step(
                 sy_b = sy_all[b0:b1]
                 sx_b = sx_all[b0:b1]
                 doff_b = doff_all[b0:b1]
+                # per-(tile, bank) kernel metadata: positions repeat across
+                # banks; the per-lane disparity table splits along lanes
+                sy_k = jnp.repeat(sy_b, banks, axis=0)
+                sx_k = jnp.repeat(sx_b, banks, axis=0)
+                doff_k = jnp.moveaxis(
+                    doff_b.reshape(tb, cpt, sc, banks, kl), 3, 1
+                ).reshape(tb * banks, cpt, sc, kl)
 
                 grp = extract_groups(
-                    bands_by_batch[bi], sy_b, sx_b, doff_b, k, nd,
+                    bands_by_batch[bi], sy_k, sx_k, doff_k, k, nd,
                     planes=n_planes, interpret=interpret,
-                )  # [tb*n_planes, cpt, sc*64, L]
-                grp = grp.reshape(tb, n_planes, tt_pad, n_sim, k * k, lanes)
+                )  # [tb*banks*n_planes, cpt, sc*64, kl]
+                # join banks back onto the lane axis for the angular matmuls
+                grp = jnp.moveaxis(
+                    grp.reshape(tb, banks, n_planes, tt_pad, n_sim, k * k, kl),
+                    1, 5,
+                ).reshape(tb, n_planes, tt_pad, n_sim, k * k, a_pad)
 
                 glvl = glvl_all[b0:b1]  # [tb, tt_pad]
                 lvl_b = jnp.broadcast_to(
@@ -291,13 +320,13 @@ def build_kernel_step(
                     sigma_c[None, :, None], (tb, c, tt_pad)
                 ).reshape(-1)[:, None, None, None]
                 spec = forward_flat(
-                    grp[:, :c].reshape(tb * c * tt_pad, n_sim, k * k, lanes),
+                    grp[:, :c].reshape(tb * c * tt_pad, n_sim, k * k, a_pad),
                     lvl_b, ft,
                 )
                 if wiener:
                     spec_b = forward_flat(
                         grp[:, c:].reshape(
-                            tb * c * tt_pad, n_sim, k * k, lanes
+                            tb * c * tt_pad, n_sim, k * k, a_pad
                         ),
                         lvl_b, ft,
                     )
@@ -323,7 +352,7 @@ def build_kernel_step(
                         1.0,
                     )
                 est = inverse_flat(filt, lvl_b, ft)
-                est = est.reshape(tb, c, tt_pad, n_sim, k * k, lanes)
+                est = est.reshape(tb, c, tt_pad, n_sim, k * k, a_pad)
                 if sp.use_sd:
                     cnt = ((1 << glvl) * a * k * k).astype(dt)[:, None, :]
                     s1 = jnp.sum(est, axis=(3, 4, 5))
@@ -342,20 +371,32 @@ def build_kernel_step(
                 # separate num/den accumulate calls: concatenating them into
                 # one vals tensor showed up as the hottest per-batch fusion
                 # in the device trace (group-sized materializing copy)
-                num_vals = (est * wk[..., None]).reshape(
-                    tb * c, cpt, sc * k * k, lanes
-                )
-                den_vals = jnp.broadcast_to(wk[..., None], est.shape).reshape(
-                    tb * c, cpt, sc * k * k, lanes
-                )
+                num_vals = jnp.moveaxis(
+                    (est * wk[..., None]).reshape(
+                        tb, c, tt_pad, n_sim, k * k, banks, kl
+                    ),
+                    5, 1,
+                ).reshape(tb * banks * c, cpt, sc * k * k, kl)
+                # den weights are lane-invariant: broadcast straight into the
+                # banked layout (no transpose needed)
+                den_vals = jnp.broadcast_to(
+                    wk[:, None, :, :, :, :, None],
+                    (tb, banks, c, tt_pad, n_sim, k * k, kl),
+                ).reshape(tb * banks * c, cpt, sc * k * k, kl)
                 nb_out = accumulate_groups(
-                    num_vals, sy_b, sx_b, doff_b, bh, bw, k, nd,
+                    num_vals, sy_k, sx_k, doff_k, bh, bw, k, nd,
                     planes=c, interpret=interpret,
-                ).reshape(tb, c, bh, bw, lanes)
+                )
                 db_out = accumulate_groups(
-                    den_vals, sy_b, sx_b, doff_b, bh, bw, k, nd,
+                    den_vals, sy_k, sx_k, doff_k, bh, bw, k, nd,
                     planes=c, interpret=interpret,
-                ).reshape(tb, c, bh, bw, lanes)
+                )
+                nb_out = jnp.moveaxis(
+                    nb_out.reshape(tb, banks, c, bh, bw, kl), 1, 4
+                ).reshape(tb, c, bh, bw, a_pad)
+                db_out = jnp.moveaxis(
+                    db_out.reshape(tb, banks, c, bh, bw, kl), 1, 4
+                ).reshape(tb, c, bh, bw, a_pad)
 
                 for i, ti in enumerate(range(b0, b1)):
                     oy, ox = int(tile_oy[ti]), int(tile_ox[ti])

@@ -73,3 +73,24 @@ def test_engine_bior_hadamard_variant():
     _, fx = run_bm5d(noisy, p, engine="xla")
     _, fp = run_bm5d(noisy, p, engine="pallas")
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=5e-3)
+
+
+def test_engines_agree_banked_beyond_128_sais():
+    """Angular grids >128 SAIs run lane-BANKED through the kernels (the
+    17x17 HCI shape, SURVEY.md §5.7): extract/accumulate per 128-lane bank,
+    banks joined on the lane axis for the angular transform. In f64 the
+    banked path must agree with the XLA path to reassociation-free
+    precision."""
+    tiny = dict(n_sim=4, n_search=2, n_disp=1, k=4, p=3)
+    p = DenoiseParams(
+        sigma=20.0,
+        ht=StepParams(tau_match=2500.0, **tiny),
+        wiener=StepParams(tau_match=400.0, **tiny),
+        chunk=32,
+    )
+    clean = synthetic_lf(12, 12, 14, 14, channels=1, seed=0)  # 144 SAIs
+    noisy = add_noise_np(clean, 20.0, seed=1)
+    bx, fx = run_bm5d(noisy, p, dtype="float64", engine="xla")
+    bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
+    assert np.abs(np.asarray(bx) - np.asarray(bp)).max() < 1e-9
+    assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-9
