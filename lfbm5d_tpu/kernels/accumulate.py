@@ -67,6 +67,127 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
     return kernel
 
 
+def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int):
+    sk = k + 2 * nd
+    nsel = 2 * nd + 1
+
+    def kernel(sy_ref, sx_ref, wv_ref, vals_ref, doff_ref, kai_ref,
+               num_ref, den_ref):
+        ip = pl.program_id(0)  # per-plane program: indexes the den weights
+        i = ip // planes  # tile index: planes share metadata
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            num_ref[...] = jnp.zeros_like(num_ref)
+            den_ref[...] = jnp.zeros_like(den_ref)
+
+        def place(patch, dy, dx):
+            """Per-lane disparity placement of [k, k, l] into [sk, sk, l]."""
+            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                shifted = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
+                accx = jnp.where(dx == m, shifted, accx)
+            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                shifted = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
+                sup = jnp.where(dy == m, shifted, sup)
+            return sup
+
+        def body(s, _):
+            y = sy_ref[i, j, s]
+            x = sx_ref[i, j, s]
+            d = doff_ref[0, s, :]
+            dy = d // nsel
+            dx = d - dy * nsel
+            dy = dy[None, None, :]
+            dx = dx[None, None, :]
+            pn = vals_ref[0, pl.ds(s * k * k, k * k), :].reshape(k, k, l)
+            # den patch is lane-invariant (weight x kaiser): built in-register
+            # from the per-slot scalar weight (SMEM) instead of a group-sized
+            # HBM tensor (saves a full vals round-trip + a second kernel pass)
+            pd = jnp.broadcast_to(
+                (wv_ref[ip, j, s] * kai_ref[...]).astype(pn.dtype), (k, k, l)
+            )
+            sup_n = place(pn, dy, dx)
+            sup_d = place(pd, dy, dx)
+            cur_n = num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
+            num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
+            cur_d = den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
+            den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_d + sup_d
+            return 0
+
+        jax.lax.fori_loop(0, sc, body, 0)
+
+    return kernel
+
+
+def accumulate_groups_fused(
+    vals, wvals, kaiser, sy, sx, doff, bh: int, bw: int, k: int = 8,
+    nd: int = 2, planes: int = 1, interpret: bool = False,
+):
+    """Fused num+den aggregation: one pass over the group values.
+
+    Like accumulate_groups for the numerator `vals`, but also accumulates the
+    denominator bands from per-slot scalar weights `wvals` [nb, n_chunks, Sc]
+    times the `kaiser` window [k, k] (the den patch is lane-invariant, so it
+    never needs materializing as a group tensor). `kaiser` is the [k, k]
+    window as a host numpy array, shipped as a [k, k, 1] broadcast input
+    block (Pallas forbids captured array constants, and a [1, k*k] lane
+    vector cannot be shape-cast to sublanes in Mosaic); the per-slot weights
+    ride scalar prefetch (SMEM) next to sy/sx. This wrapper is deliberately
+    NOT jitted (call it inside a trace).
+    Returns (num_bands, den_bands), each [n_tiles*planes, bh, bw, L].
+    """
+    import numpy as _np
+
+    nb, n_chunks, rows, l = vals.shape
+    n_tiles, _, sc = sy.shape
+    assert nb == n_tiles * planes
+    kernel = _make_fused_kernel(k, nd, sc, l, planes)
+    kai_in = jnp.asarray(
+        _np.asarray(kaiser, dtype=vals.dtype).reshape(k, k, 1)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, sc, l),
+                lambda i, j, *_: ((i // planes) * n_chunks + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((k, k, 1), lambda i, j, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, bh, bw, l), vals.dtype),
+            jax.ShapeDtypeStruct((nb, bh, bw, l), vals.dtype),
+        ],
+        interpret=interpret,
+    )(
+        sy, sx, wvals,
+        vals.reshape(nb * n_chunks, rows, l),
+        doff.reshape(n_tiles * n_chunks, sc, l),
+        kai_in,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "nd", "bh", "bw", "planes", "interpret")
 )
@@ -106,6 +227,9 @@ def accumulate_groups(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         out_shape=jax.ShapeDtypeStruct((nb, bh, bw, l), vals.dtype),
         interpret=interpret,
     )(

@@ -108,6 +108,9 @@ def extract_groups(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         out_shape=jax.ShapeDtypeStruct(
             (nb * n_chunks, sc * k * k, l), bands.dtype
         ),

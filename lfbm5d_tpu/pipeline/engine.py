@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from lfbm5d_tpu.config import StepParams
-from lfbm5d_tpu.kernels.accumulate import accumulate_groups
+from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
 from lfbm5d_tpu.kernels.extract import extract_groups
 from lfbm5d_tpu.lf.pad import ind_initialize
 from lfbm5d_tpu.ops.distances import (
@@ -174,14 +174,16 @@ def build_kernel_step(
         np.repeat(tile_groups, n_sim, axis=1) * n_sim + slot_n_np[None, :]
     )  # [nT, tt_pad * n_sim]
     slot_flat_c = jnp.asarray(slot_flat.reshape(-1))  # [nT*cpt*sc]
-    kaiser_flat = jnp.asarray(tm.kaiser_window(k).reshape(-1), dtype=dt)  # [64]
+    kaiser_np = np.asarray(tm.kaiser_window(k))  # host copy for the fused kernel
+    kaiser_flat = jnp.asarray(kaiser_np.reshape(-1), dtype=dt)  # [64]
     ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=dt)
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
     tile_group_bytes = n_planes * tt_pad * n_sim * 64 * a_pad * 4
-    # scalar-prefetch (sy/sx) lives in 1MB SMEM; cap the batch accordingly
-    smem_per_tile = 2 * cpt * sc * 4 * banks
+    # scalar-prefetch (sy/sx + per-plane den weights) lives in 1MB SMEM;
+    # cap the batch accordingly
+    smem_per_tile = (2 + c) * cpt * sc * 4 * banks
     tiles_per_batch = min(
         n_tiles,
         max(1, int(3.5e9 / max(tile_group_bytes * 4, 1))),
@@ -368,28 +370,24 @@ def build_kernel_step(
                     * smask[:, None, :, :, None]
                     * kaiser_flat[None, None, None, None, :]
                 )  # [tb, c, tt_pad, N, 64]
-                # separate num/den accumulate calls: concatenating them into
-                # one vals tensor showed up as the hottest per-batch fusion
-                # in the device trace (group-sized materializing copy)
                 num_vals = jnp.moveaxis(
                     (est * wk[..., None]).reshape(
                         tb, c, tt_pad, n_sim, k * k, banks, kl
                     ),
                     5, 1,
                 ).reshape(tb * banks * c, cpt, sc * k * k, kl)
-                # den weights are lane-invariant: broadcast straight into the
-                # banked layout (no transpose needed)
-                den_vals = jnp.broadcast_to(
-                    wk[:, None, :, :, :, :, None],
-                    (tb, banks, c, tt_pad, n_sim, k * k, kl),
-                ).reshape(tb * banks * c, cpt, sc * k * k, kl)
-                nb_out = accumulate_groups(
-                    num_vals, sy_k, sx_k, doff_k, bh, bw, k, nd,
-                    planes=c, interpret=interpret,
-                )
-                db_out = accumulate_groups(
-                    den_vals, sy_k, sx_k, doff_k, bh, bw, k, nd,
-                    planes=c, interpret=interpret,
+                # den patches are lane-invariant (weight x kaiser): the fused
+                # kernel rebuilds them in-register from per-slot scalar
+                # weights, so the den side never exists as a group tensor
+                # (the den vals materialization was the hottest per-batch
+                # fusion in the device trace)
+                ws = wgt[:, :, :, None] * smask[:, None, :, :]
+                wv = jnp.broadcast_to(
+                    ws[:, None], (tb, banks, c, tt_pad, n_sim)
+                ).reshape(tb * banks * c, cpt, sc)
+                nb_out, db_out = accumulate_groups_fused(
+                    num_vals, wv, kaiser_np, sy_k, sx_k, doff_k, bh, bw,
+                    k, nd, planes=c, interpret=interpret,
                 )
                 nb_out = jnp.moveaxis(
                     nb_out.reshape(tb, banks, c, bh, bw, kl), 1, 4
