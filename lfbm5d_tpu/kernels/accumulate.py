@@ -67,17 +67,20 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
     return kernel
 
 
-def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int):
+def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int,
+                       refs: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
 
     def kernel(sy_ref, sx_ref, wv_ref, vals_ref, doff_ref, kai_ref,
                num_ref, den_ref):
-        ip = pl.program_id(0)  # per-plane program: indexes the den weights
-        i = ip // planes  # tile index: planes share metadata
+        ip = pl.program_id(0)  # grid dim0 ordered (tile, plane, ref)
+        i = (ip // (refs * planes)) * refs + ip % refs  # (tile, ref) metadata
         j = pl.program_id(1)
 
-        @pl.when(j == 0)
+        # the output bands are revisited across the ref axis AND the chunk
+        # axis: zero only on the very first (ref, chunk) program of a band
+        @pl.when((ip % refs == 0) & (j == 0))
         def _():
             num_ref[...] = jnp.zeros_like(num_ref)
             den_ref[...] = jnp.zeros_like(den_ref)
@@ -124,7 +127,7 @@ def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int):
 
 def accumulate_groups_fused(
     vals, wvals, kaiser, sy, sx, doff, bh: int, bw: int, k: int = 8,
-    nd: int = 2, planes: int = 1, interpret: bool = False,
+    nd: int = 2, planes: int = 1, refs: int = 1, interpret: bool = False,
 ):
     """Fused num+den aggregation: one pass over the group values.
 
@@ -137,35 +140,45 @@ def accumulate_groups_fused(
     vector cannot be shape-cast to sublanes in Mosaic); the per-slot weights
     ride scalar prefetch (SMEM) next to sy/sx. This wrapper is deliberately
     NOT jitted (call it inside a trace).
+
+    refs: reference-SAI batch — vals/wvals rows are ordered (tile, plane,
+    ref) and sy/sx/doff rows (tile, ref); all `refs` contributions to a
+    (tile, plane) band accumulate IN-KERNEL (the band block is revisited
+    across the ref axis), so the returned band count is refs-independent.
     Returns (num_bands, den_bands), each [n_tiles*planes, bh, bw, L].
     """
     import numpy as _np
 
-    nb, n_chunks, rows, l = vals.shape
-    n_tiles, _, sc = sy.shape
-    assert nb == n_tiles * planes
-    kernel = _make_fused_kernel(k, nd, sc, l, planes)
+    nb2, n_chunks, rows, l = vals.shape
+    n_meta, _, sc = sy.shape
+    n_tiles = nb2 // (planes * refs)
+    nb = n_tiles * planes
+    assert nb2 == n_tiles * planes * refs and n_meta == n_tiles * refs
+    kernel = _make_fused_kernel(k, nd, sc, l, planes, refs)
     kai_in = jnp.asarray(
         _np.asarray(kaiser, dtype=vals.dtype).reshape(k, k, 1)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb, n_chunks),
+        grid=(nb2, n_chunks),
         in_specs=[
             pl.BlockSpec((1, rows, l), lambda i, j, *_: (i * n_chunks + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, sc, l),
-                lambda i, j, *_: ((i // planes) * n_chunks + j, 0, 0),
+                lambda i, j, *_: (
+                    ((i // (refs * planes)) * refs + i % refs) * n_chunks + j,
+                    0, 0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((k, k, 1), lambda i, j, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i // refs, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i // refs, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -182,8 +195,8 @@ def accumulate_groups_fused(
         interpret=interpret,
     )(
         sy, sx, wvals,
-        vals.reshape(nb * n_chunks, rows, l),
-        doff.reshape(n_tiles * n_chunks, sc, l),
+        vals.reshape(nb2 * n_chunks, rows, l),
+        doff.reshape(n_meta * n_chunks, sc, l),
         kai_in,
     )
 

@@ -32,12 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
+def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int, refs: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
 
     def kernel(sy_ref, sx_ref, band_ref, doff_ref, out_ref):
-        i = pl.program_id(0) // planes  # tile index: planes share metadata
+        ip = pl.program_id(0)  # grid dim0 ordered (tile, plane, ref)
+        i = (ip // (refs * planes)) * refs + ip % refs  # (tile, ref) metadata
         j = pl.program_id(1)
 
         def body(s, _):
@@ -66,36 +67,46 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nd", "planes", "interpret")
+    jax.jit, static_argnames=("k", "nd", "planes", "refs", "interpret")
 )
 def extract_groups(
     bands, sy, sx, doff, k: int = 8, nd: int = 2, planes: int = 1,
-    interpret: bool = False,
+    refs: int = 1, interpret: bool = False,
 ):
     """Extract group rows from A-stacked bands.
 
     bands: [n_tiles*planes, BH, BW, L] float32 — per-(tile, plane) pixel
       slabs, SAIs on lanes; `planes` consecutive bands (e.g. channels) share
       one tile's slot metadata.
-    sy/sx: [n_tiles, n_chunks, Sc] int32 — superpatch origins (band-relative;
-      the superpatch spans [sy, sy+k+2nd) x [sx, sx+k+2nd)).
-    doff:  [n_tiles, n_chunks, Sc, L] int32 — per-lane flat disparity index
-      (row-major over the (2nd+1)^2 window, as ops.distances.displacements).
-    Returns [n_tiles*planes, n_chunks, Sc*k*k, L] group rows.
+    sy/sx: [n_tiles*refs, n_chunks, Sc] int32 — superpatch origins
+      (band-relative; the superpatch spans [sy, sy+k+2nd) x [sx, sx+k+2nd)).
+    doff:  [n_tiles*refs, n_chunks, Sc, L] int32 — per-lane flat disparity
+      index (row-major over the (2nd+1)^2 window, as
+      ops.distances.displacements).
+    refs:  reference-SAI batch — `refs` metadata rows per (tile, plane)
+      share ONE band block. The grid is ordered (tile, plane, ref) so the
+      band block is revisited across the ref axis (fetched once per R refs).
+    Returns [n_tiles*planes*refs, n_chunks, Sc*k*k, L] group rows, rows
+    ordered (tile, plane, ref).
     """
     nb, bh, bw, l = bands.shape
-    n_tiles, n_chunks, sc = sy.shape
-    assert nb == n_tiles * planes
-    kernel = _make_kernel(k, nd, sc, l, planes)
+    n_meta, n_chunks, sc = sy.shape
+    n_tiles = nb // planes
+    assert nb == n_tiles * planes and n_meta == n_tiles * refs
+    nb2 = n_tiles * planes * refs
+    kernel = _make_kernel(k, nd, sc, l, planes, refs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, n_chunks),
+        grid=(nb2, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i // refs, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, sc, l),
-                lambda i, j, *_: ((i // planes) * n_chunks + j, 0, 0),
+                lambda i, j, *_: (
+                    ((i // (refs * planes)) * refs + i % refs) * n_chunks + j,
+                    0, 0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -112,11 +123,11 @@ def extract_groups(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (nb * n_chunks, sc * k * k, l), bands.dtype
+            (nb2 * n_chunks, sc * k * k, l), bands.dtype
         ),
         interpret=interpret,
     )(
         sy, sx, bands,
-        doff.reshape(n_tiles * n_chunks, sc, l),
+        doff.reshape(n_meta * n_chunks, sc, l),
     )
-    return out.reshape(nb, n_chunks, sc * k * k, l)
+    return out.reshape(nb2, n_chunks, sc * k * k, l)

@@ -164,7 +164,6 @@ def build_kernel_step(
     disp_self = jnp.asarray(displacements(n))
     tile_oy_c = jnp.asarray(tile_oy)
     tile_ox_c = jnp.asarray(tile_ox)
-    tile_groups_c = jnp.asarray(tile_groups)  # [nT, tt_pad]
     # flat slot index per (tile, chunk, slot): group_id * N + n — static, so
     # all per-ref-SAI slot metadata is fetched with ONE fast row-gather in
     # tile order instead of per-tile advanced indexing (XLA's generic gather
@@ -173,20 +172,48 @@ def build_kernel_step(
     slot_flat = (
         np.repeat(tile_groups, n_sim, axis=1) * n_sim + slot_n_np[None, :]
     )  # [nT, tt_pad * n_sim]
-    slot_flat_c = jnp.asarray(slot_flat.reshape(-1))  # [nT*cpt*sc]
+
+    # --- reference-SAI batching: R refs share one scan pass; their group
+    # slots ride the kernels' `refs` grid axis (band blocks revisited across
+    # refs, cross-ref band accumulation in-kernel), dividing the per-step
+    # dispatch count — the measured #1 overhead — by R. The ref axis is
+    # padded to n_blocks*R with masked dummy refs (zero weights).
+    r_batch, _best = 1, None
+    for _rc in range(1, min(8, a) + 1):
+        _cost = _cdiv(a, _rc) * (_rc + 2.0)  # R BM units + dispatch weight 2
+        if _best is None or _cost < _best:
+            r_batch, _best = _rc, _cost
+    n_blocks = _cdiv(a, r_batch)
+
+    # per-ref gather tables: entry (ti, r, slot) indexes ref r's padded
+    # metadata tables (T+1 rows each), flattened across the ref-batch axis
+    tnp1 = t_count + 1
+    roff = np.arange(r_batch, dtype=np.int64)
+    slot_flat_c = jnp.asarray(
+        (slot_flat[:, None, :] + (roff * (tnp1 * n_sim))[None, :, None])
+        .astype(np.int32).reshape(-1)
+    )  # [nT*R*cpt*sc]
+    tile_groups_ec = jnp.asarray(
+        (tile_groups[:, None, :] + (roff * tnp1)[None, :, None])
+        .astype(np.int32).reshape(-1)
+    )  # [nT*R*tt_pad]
     kaiser_np = np.asarray(tm.kaiser_window(k))  # host copy for the fused kernel
     kaiser_flat = jnp.asarray(kaiser_np.reshape(-1), dtype=dt)  # [64]
     ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=dt)
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
-    tile_group_bytes = n_planes * tt_pad * n_sim * 64 * a_pad * 4
+    tile_group_bytes = n_planes * tt_pad * n_sim * 64 * a_pad * 4 * r_batch
     # scalar-prefetch (sy/sx + per-plane den weights) lives in 1MB SMEM;
     # cap the batch accordingly
-    smem_per_tile = (2 + c) * cpt * sc * 4 * banks
+    smem_per_tile = (2 + c) * cpt * sc * 4 * banks * r_batch
+    # HBM transient budget: XLA keeps ~8 group-sized tensors live across
+    # extract/transform/shrink/inverse/vals per batch (measured 24.8G at a
+    # 1.45G group tensor), so cap the per-batch group tensor at ~1.3G of
+    # the chip's 16G
     tiles_per_batch = min(
         n_tiles,
-        max(1, int(3.5e9 / max(tile_group_bytes * 4, 1))),
+        max(1, int(1.3e9 / max(tile_group_bytes, 1))),
         max(1, 350_000 // max(smem_per_tile, 1)),
     )
 
@@ -227,64 +254,90 @@ def build_kernel_step(
 
         v1 = wp - k + 1
 
-        def ref_pass(carry, r):
+        def ref_pass(carry, idx):
+            """One pass over a block of R reference SAIs (idx: [R] raw
+            indices; entries >= A are masked dummies, clamped for BM)."""
             num, den = carry
-            ref0 = match0[r]
-            d_self = self_distances(ref0, ys, xs, k, n)
-            order, lvl, mask = select_similar(d_self, n, sp.tau_match, n_sim)
-            off = disp_self[order]
-            sim_y = pos_y[:, None] + off[..., 0]
-            sim_x = pos_x[:, None] + off[..., 1]
+            valid = idx < a
+            rs = jnp.minimum(idx, a - 1)
 
-            def per_a(_, ai):
-                return _, cross_argmin(ref0, match0[ai], k, nd)
+            # BM runs per ref in an inner scan, in the exact single-ref form
+            # (batched/vmapped BM forms measured 1.5-1.6x slower on this
+            # chip, twice); only the group stage is ref-batched.
+            def bm_one(_, ri):
+                im = match0[ri]
+                d_self = self_distances(im, ys, xs, k, n)
+                order, lv, mk = select_similar(d_self, n, sp.tau_match, n_sim)
+                offs = disp_self[order]
+                sy = pos_y[:, None] + offs[..., 0]  # [T, N]
+                sx = pos_x[:, None] + offs[..., 1]
 
-            _, bidx_all = lax.scan(per_a, 0, jnp.arange(a))  # [A, V0, V1]
-            # Pad the angular axis to the lane width on the MAJOR dim before
-            # transposing (a minor-dim pad afterwards measured ~1 GB/s), then
-            # ONE row-gather at the similar-patch positions for every SAI.
-            bidx_flat = jnp.pad(
-                bidx_all.reshape(a, -1), ((0, a_pad - a), (0, 0)),
-                constant_values=c_ang,
-            ).T  # [V, a_pad]
-            flat_pos = (sim_y * v1 + sim_x).reshape(-1)  # [T*N]
-            ang = jnp.take(bidx_flat, flat_pos, axis=0).reshape(
-                t_count, n_sim, a_pad
+                def per_a(_, ai):
+                    return _, cross_argmin(im, match0[ai], k, nd)
+
+                _, bidx = lax.scan(per_a, 0, jnp.arange(a))  # [A, V0, V1]
+                # Pad the angular axis to the lane width on the MAJOR dim
+                # before transposing (a minor-dim pad afterwards measured
+                # ~1 GB/s), then ONE row-gather at the similar-patch
+                # positions for every SAI.
+                bidx_f = jnp.pad(
+                    bidx.reshape(a, -1), ((0, a_pad - a), (0, 0)),
+                    constant_values=c_ang,
+                ).T  # [V, a_pad]
+                fp = (sy * v1 + sx).reshape(-1)  # [T*N]
+                an = jnp.take(bidx_f, fp, axis=0).reshape(
+                    t_count, n_sim, a_pad
+                )
+                an = jnp.where(
+                    jnp.arange(a_pad)[None, None, :] == ri, c_ang, an
+                )
+                return _, (sy, sx, lv, mk, an)
+
+            _, (sim_y, sim_x, lvl, mask, ang) = lax.scan(bm_one, 0, rs)
+            mask = mask & valid[:, None, None]  # dummy refs contribute zero
+
+            # dummy slot at index T for tile padding (per ref)
+            sim_y_p = jnp.concatenate(
+                [sim_y, jnp.full((r_batch, 1, n_sim), pad, jnp.int32)], axis=1
             )
-            ang = jnp.where(jnp.arange(a_pad)[None, None, :] == r, c_ang, ang)
-
-            # dummy slot at index T for tile padding
-            sim_y_p = jnp.concatenate([sim_y, jnp.full((1, n_sim), pad, jnp.int32)])
-            sim_x_p = jnp.concatenate([sim_x, jnp.full((1, n_sim), pad, jnp.int32)])
-            lvl_p = jnp.concatenate([lvl, jnp.zeros((1,), lvl.dtype)])
-            mask_p = jnp.concatenate([mask, jnp.zeros((1, n_sim), bool)])
+            sim_x_p = jnp.concatenate(
+                [sim_x, jnp.full((r_batch, 1, n_sim), pad, jnp.int32)], axis=1
+            )
+            lvl_p = jnp.concatenate(
+                [lvl, jnp.zeros((r_batch, 1), lvl.dtype)], axis=1
+            )
+            mask_p = jnp.concatenate(
+                [mask, jnp.zeros((r_batch, 1, n_sim), bool)], axis=1
+            )
             ang_p = jnp.concatenate(
-                [ang, jnp.full((1, n_sim, a_pad), c_ang, ang.dtype)]
+                [ang, jnp.full((r_batch, 1, n_sim, a_pad), c_ang, ang.dtype)],
+                axis=1,
             )
 
-            # one row-gather per ref-SAI fetches every tile's slot metadata
+            # one row-gather per ref-BLOCK fetches every (tile, ref) slot's
+            # metadata (the gather tables carry per-ref offsets)
             qy_all = jnp.take(sim_y_p.reshape(-1), slot_flat_c).reshape(
-                n_tiles, cpt, sc
+                n_tiles, r_batch, cpt, sc
             )
             qx_all = jnp.take(sim_x_p.reshape(-1), slot_flat_c).reshape(
-                n_tiles, cpt, sc
+                n_tiles, r_batch, cpt, sc
             )
             doff_all = jnp.take(
                 ang_p.reshape(-1, a_pad), slot_flat_c, axis=0
-            ).reshape(n_tiles, cpt, sc, a_pad)
-            glvl_all = jnp.take(lvl_p, tile_groups_c.reshape(-1)).reshape(
-                n_tiles, tt_pad
+            ).reshape(n_tiles, r_batch, cpt, sc, a_pad)
+            glvl_all = jnp.take(lvl_p.reshape(-1), tile_groups_ec).reshape(
+                n_tiles, r_batch, tt_pad
             )
             smask_all = jnp.take(
-                mask_p, tile_groups_c.reshape(-1), axis=0
-            ).reshape(n_tiles, tt_pad, n_sim)
+                mask_p.reshape(-1, n_sim), tile_groups_ec, axis=0
+            ).reshape(n_tiles, r_batch, tt_pad, n_sim)
 
             # positions relative to each (static) tile origin
             sy_all = jnp.clip(
-                qy_all - nd - tile_oy_c[:, None, None], 0, bh - sk
+                qy_all - nd - tile_oy_c[:, None, None, None], 0, bh - sk
             )
             sx_all = jnp.clip(
-                qx_all - nd - tile_ox_c[:, None, None], 0, bw - sk
+                qx_all - nd - tile_ox_c[:, None, None, None], 0, bw - sk
             )
 
             # --- tile batches: one extract / transform / accumulate call per
@@ -293,43 +346,57 @@ def build_kernel_step(
             for bi, b0 in enumerate(range(0, n_tiles, tiles_per_batch)):
                 b1 = min(n_tiles, b0 + tiles_per_batch)
                 tb = b1 - b0
-                sy_b = sy_all[b0:b1]
-                sx_b = sx_all[b0:b1]
-                doff_b = doff_all[b0:b1]
-                # per-(tile, bank) kernel metadata: positions repeat across
-                # banks; the per-lane disparity table splits along lanes
-                sy_k = jnp.repeat(sy_b, banks, axis=0)
-                sx_k = jnp.repeat(sx_b, banks, axis=0)
-                doff_k = jnp.moveaxis(
-                    doff_b.reshape(tb, cpt, sc, banks, kl), 3, 1
-                ).reshape(tb * banks, cpt, sc, kl)
+                tbr = tb * r_batch
+                # serialize the unrolled batches: without this barrier XLA
+                # schedules every batch's extract upfront and holds all
+                # group tensors live at once (measured 24.8G at 9x9)
+                sy_b, sx_b, doff_b, num, den = lax.optimization_barrier(
+                    (sy_all[b0:b1], sx_all[b0:b1], doff_all[b0:b1], num, den)
+                )
+                # kernel metadata rows ordered (tile, bank, ref): positions
+                # repeat across banks; the disparity table splits along lanes
+                sy_k = jnp.broadcast_to(
+                    sy_b[:, None], (tb, banks, r_batch, cpt, sc)
+                ).reshape(tb * banks * r_batch, cpt, sc)
+                sx_k = jnp.broadcast_to(
+                    sx_b[:, None], (tb, banks, r_batch, cpt, sc)
+                ).reshape(tb * banks * r_batch, cpt, sc)
+                doff_k = jnp.transpose(
+                    doff_b.reshape(tb, r_batch, cpt, sc, banks, kl),
+                    (0, 4, 1, 2, 3, 5),
+                ).reshape(tb * banks * r_batch, cpt, sc, kl)
 
                 grp = extract_groups(
                     bands_by_batch[bi], sy_k, sx_k, doff_k, k, nd,
-                    planes=n_planes, interpret=interpret,
-                )  # [tb*banks*n_planes, cpt, sc*64, kl]
-                # join banks back onto the lane axis for the angular matmuls
+                    planes=n_planes, refs=r_batch, interpret=interpret,
+                )  # rows (tile, bank, plane, ref): [.., cpt, sc*64, kl]
+                # join banks back onto the lane axis for the angular matmuls.
+                # The batch axis keeps the kernel's native (tile, plane, ref)
+                # order end-to-end: every downstream reorder is then a
+                # broadcast or a singleton move (free for banks == 1) — a
+                # (tile, ref)-major order was measured ~10% slower from the
+                # two genuine group-tensor transposes it forces.
                 grp = jnp.moveaxis(
-                    grp.reshape(tb, banks, n_planes, tt_pad, n_sim, k * k, kl),
-                    1, 5,
-                ).reshape(tb, n_planes, tt_pad, n_sim, k * k, a_pad)
+                    grp.reshape(
+                        tb, banks, n_planes, r_batch, tt_pad, n_sim, k * k, kl
+                    ),
+                    1, 6,
+                ).reshape(tb, n_planes, r_batch, tt_pad, n_sim, k * k, a_pad)
 
-                glvl = glvl_all[b0:b1]  # [tb, tt_pad]
+                glvl = glvl_all[b0:b1]  # [tb, R, tt_pad]
                 lvl_b = jnp.broadcast_to(
-                    glvl[:, None, :], (tb, c, tt_pad)
+                    glvl[:, None], (tb, c, r_batch, tt_pad)
                 ).reshape(-1)
                 sig_b = jnp.broadcast_to(
-                    sigma_c[None, :, None], (tb, c, tt_pad)
+                    sigma_c[None, :, None, None], (tb, c, r_batch, tt_pad)
                 ).reshape(-1)[:, None, None, None]
+                gb = tb * c * r_batch * tt_pad
                 spec = forward_flat(
-                    grp[:, :c].reshape(tb * c * tt_pad, n_sim, k * k, a_pad),
-                    lvl_b, ft,
+                    grp[:, :c].reshape(gb, n_sim, k * k, a_pad), lvl_b, ft,
                 )
                 if wiener:
                     spec_b = forward_flat(
-                        grp[:, c:].reshape(
-                            tb * c * tt_pad, n_sim, k * k, a_pad
-                        ),
+                        grp[:, c:].reshape(gb, n_sim, k * k, a_pad),
                         lvl_b, ft,
                     )
                     b2 = spec_b**2
@@ -354,40 +421,46 @@ def build_kernel_step(
                         1.0,
                     )
                 est = inverse_flat(filt, lvl_b, ft)
-                est = est.reshape(tb, c, tt_pad, n_sim, k * k, a_pad)
+                est = est.reshape(
+                    tb, c, r_batch, tt_pad, n_sim, k * k, a_pad
+                )
                 if sp.use_sd:
-                    cnt = ((1 << glvl) * a * k * k).astype(dt)[:, None, :]
-                    s1 = jnp.sum(est, axis=(3, 4, 5))
-                    s2 = jnp.sum(est**2, axis=(3, 4, 5))
-                    mean = s1 / cnt[..., :]
+                    cnt = ((1 << glvl) * a * k * k).astype(dt)[:, None]
+                    s1 = jnp.sum(est, axis=(4, 5, 6))
+                    s2 = jnp.sum(est**2, axis=(4, 5, 6))
+                    mean = s1 / cnt
                     var = s2 / cnt - mean**2
                     wgt = jnp.where(var > 0, 1.0 / jnp.maximum(var, 1e-30), 1.0)
 
-                wgt = wgt.reshape(tb, c, tt_pad)
-                smask = smask_all[b0:b1].astype(dt)  # [tb, tt_pad, N]
+                wgt = wgt.reshape(tb, c, r_batch, tt_pad)
+                smask = smask_all[b0:b1].astype(dt)  # [tb, R, tt_pad, N]
                 wk = (
-                    wgt[:, :, :, None, None]
-                    * smask[:, None, :, :, None]
-                    * kaiser_flat[None, None, None, None, :]
-                )  # [tb, c, tt_pad, N, 64]
+                    wgt[..., None, None]
+                    * smask[:, None, ..., None]
+                    * kaiser_flat[None, None, None, None, None, :]
+                )  # [tb, c, R, tt_pad, N, 64]
+                # vals rows ordered (tile, bank, plane, ref) for the fused
+                # accumulate (whose bands are revisited across refs)
                 num_vals = jnp.moveaxis(
                     (est * wk[..., None]).reshape(
-                        tb, c, tt_pad, n_sim, k * k, banks, kl
+                        tb, c, r_batch, tt_pad, n_sim, k * k, banks, kl
                     ),
-                    5, 1,
-                ).reshape(tb * banks * c, cpt, sc * k * k, kl)
+                    6, 1,
+                ).reshape(tb * banks * c * r_batch, cpt, sc * k * k, kl)
                 # den patches are lane-invariant (weight x kaiser): the fused
                 # kernel rebuilds them in-register from per-slot scalar
                 # weights, so the den side never exists as a group tensor
                 # (the den vals materialization was the hottest per-batch
                 # fusion in the device trace)
-                ws = wgt[:, :, :, None] * smask[:, None, :, :]
+                ws = (wgt[..., None] * smask[:, None]).reshape(
+                    tb, c, r_batch, cpt, sc
+                )
                 wv = jnp.broadcast_to(
-                    ws[:, None], (tb, banks, c, tt_pad, n_sim)
-                ).reshape(tb * banks * c, cpt, sc)
+                    ws[:, None], (tb, banks, c, r_batch, cpt, sc)
+                ).reshape(tb * banks * c * r_batch, cpt, sc)
                 nb_out, db_out = accumulate_groups_fused(
                     num_vals, wv, kaiser_np, sy_k, sx_k, doff_k, bh, bw,
-                    k, nd, planes=c, interpret=interpret,
+                    k, nd, planes=c, refs=r_batch, interpret=interpret,
                 )
                 nb_out = jnp.moveaxis(
                     nb_out.reshape(tb, banks, c, bh, bw, kl), 1, 4
@@ -406,7 +479,10 @@ def build_kernel_step(
                     )
             return (num, den), None
 
-        (num, den), _ = lax.scan(ref_pass, (num0, den0), jnp.arange(a))
+        idx_blocks = jnp.arange(
+            n_blocks * r_batch, dtype=jnp.int32
+        ).reshape(n_blocks, r_batch)
+        (num, den), _ = lax.scan(ref_pass, (num0, den0), idx_blocks)
         # back to the [A, Hp, Wp, C] contract
         num = jnp.transpose(num[:, :hp, :wp, :a], (3, 1, 2, 0))
         den = jnp.transpose(den[:, :hp, :wp, :a], (3, 1, 2, 0))
