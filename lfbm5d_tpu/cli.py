@@ -38,22 +38,30 @@ from lfbm5d_tpu.lf.noise import add_noise_np
 
 
 def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
+    # All step flags default to None sentinels so an explicitly passed value
+    # always wins over the preset, even when it equals the documented default
+    # (merge order: explicit flag > preset > documented default).
     g = ap.add_argument_group(f"{prefix} step parameters")
-    g.add_argument(f"--{prefix}-nsim", type=int, default=16,
-                   help="max similar patches N (power of two)")
-    g.add_argument(f"--{prefix}-nsearch", type=int, default=16,
-                   help="self-similarity search half-window n")
-    g.add_argument(f"--{prefix}-ndisp", type=int, default=2,
-                   help="angular/disparity search half-window nDisp")
-    g.add_argument(f"--{prefix}-k", type=int, default=8, help="patch size k")
-    g.add_argument(f"--{prefix}-p", type=int, default=3,
-                   help="reference-patch step p")
-    g.add_argument(f"--{prefix}-tau2d", default="dct", choices=["dct", "bior"])
-    g.add_argument(f"--{prefix}-tau4d", default="dct", choices=["dct", "id"])
-    g.add_argument(f"--{prefix}-tau5d", default="haar",
-                   choices=["haar", "hadamard", "dct"])
-    g.add_argument(f"--{prefix}-taumatch", type=float, default=tau_default)
-    g.add_argument(f"--{prefix}-usesd", action="store_true")
+    g.add_argument(f"--{prefix}-nsim", type=int, default=None,
+                   help="max similar patches N (power of two; default 16)")
+    g.add_argument(f"--{prefix}-nsearch", type=int, default=None,
+                   help="self-similarity search half-window n (default 16)")
+    g.add_argument(f"--{prefix}-ndisp", type=int, default=None,
+                   help="angular/disparity search half-window nDisp "
+                   "(default 2)")
+    g.add_argument(f"--{prefix}-k", type=int, default=None,
+                   help="patch size k (default 8)")
+    g.add_argument(f"--{prefix}-p", type=int, default=None,
+                   help="reference-patch step p (default 3)")
+    g.add_argument(f"--{prefix}-tau2d", default=None,
+                   choices=["dct", "bior"], help="default dct")
+    g.add_argument(f"--{prefix}-tau4d", default=None,
+                   choices=["dct", "id"], help="default dct")
+    g.add_argument(f"--{prefix}-tau5d", default=None,
+                   choices=["haar", "hadamard", "dct"], help="default haar")
+    g.add_argument(f"--{prefix}-taumatch", type=float, default=None,
+                   help=f"BM threshold (default {tau_default:g})")
+    g.add_argument(f"--{prefix}-usesd", action="store_true", default=None)
 
 
 _PRESETS = {
@@ -63,27 +71,28 @@ _PRESETS = {
     "fast": dict(nsim=8, nsearch=8, ndisp=2, p=6),
 }
 
+_STEP_DEFAULTS = dict(
+    nsim=16, nsearch=16, ndisp=2, k=8, p=3, tau2d="dct", tau4d="dct",
+    tau5d="haar", usesd=False,
+)
 
-def _step_params(ns, prefix: str) -> StepParams:
+
+def _step_params(ns, prefix: str, tau_default: float) -> StepParams:
     over = _PRESETS[ns.preset]
 
     def g(name):
         val = getattr(ns, f"{prefix}_{name}")
-        default = _STEP_DEFAULTS[name]
-        # explicit per-step flags win over the preset
-        return val if val != default else over.get(name, val)
+        if val is not None:
+            return val  # explicit flag wins
+        if name in over:
+            return over[name]  # then the preset
+        return _STEP_DEFAULTS.get(name, tau_default)  # documented default
 
     return StepParams(
         n_sim=g("nsim"), n_search=g("nsearch"), n_disp=g("ndisp"),
         k=g("k"), p=g("p"), tau_2d=g("tau2d"), tau_4d=g("tau4d"),
         tau_5d=g("tau5d"), tau_match=g("taumatch"), use_sd=g("usesd"),
     )
-
-
-_STEP_DEFAULTS = dict(
-    nsim=16, nsearch=16, ndisp=2, k=8, p=3, tau2d="dct", tau4d="dct",
-    tau5d="haar", taumatch=None, usesd=False,
-)
 
 
 def _common_io_args(ap):
@@ -143,7 +152,8 @@ def cmd_denoise(ns) -> int:
 
     params = DenoiseParams(
         sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
-        ht=_step_params(ns, "ht"), wiener=_step_params(ns, "wien"),
+        ht=_step_params(ns, "ht", 2500.0),
+        wiener=_step_params(ns, "wien", 400.0),
         chunk=ns.chunk,
     )
     with timer.stage("denoise"):
@@ -205,8 +215,9 @@ def cmd_sr(ns) -> int:
     params = SRParams(
         scale=ns.scale, n_iter=ns.n_iter, sigma_init=ns.sigma_init,
         sigma_final=ns.sigma_final, color_space=ns.color_space,
-        lambda_3d=ns.lam, ht=_step_params(ns, "ht"),
-        wiener=_step_params(ns, "wien"), bp_gain=ns.bp_gain, chunk=ns.chunk,
+        lambda_3d=ns.lam, ht=_step_params(ns, "ht", 2500.0),
+        wiener=_step_params(ns, "wien", 400.0), bp_gain=ns.bp_gain,
+        chunk=ns.chunk,
     )
 
     def checkpoint(i, hr):
@@ -215,7 +226,7 @@ def cmd_sr(ns) -> int:
                     ns.pattern, ns.s_offset, ns.t_offset, ns.bit_depth)
 
     with timer.stage("sr"):
-        hr = run_sr(lf, params, on_iteration=checkpoint)
+        hr = run_sr(lf, params, on_iteration=checkpoint, engine=ns.engine)
         jax.block_until_ready(hr)
     hr = np.asarray(hr)
     with timer.stage("save"):

@@ -73,6 +73,8 @@ def load_lf(
                 arr = arr[:, :, :3][:, :, ::-1]  # strip alpha, BGR -> RGB
         except ImportError:
             arr = np.asarray(Image.open(path))
+            if arr.ndim == 3 and arr.shape[2] > 3:
+                arr = arr[:, :, :3]  # strip alpha, matching cv2/native paths
         if arr.dtype == np.uint16:
             arr = arr.astype(np.float64) / 257.0
         else:

@@ -22,31 +22,45 @@ import jax.numpy as jnp
 
 from lfbm5d_tpu.config import DenoiseParams, SRParams
 from lfbm5d_tpu.lf.resize import downsample, upsample
-from lfbm5d_tpu.pipeline.denoise import run_bm5d
+from lfbm5d_tpu.pipeline.denoise import (
+    _build_denoise_jit,
+    _resolve_engine,
+    _sigma_channels,
+)
 
 
 def sigma_schedule(params: SRParams) -> np.ndarray:
     return np.linspace(params.sigma_init, params.sigma_final, params.n_iter)
 
 
-def run_sr(lr_lf, params: SRParams, on_iteration=None, dtype: str = "float32"):
+def run_sr(lr_lf, params: SRParams, on_iteration=None, dtype: str = "float32",
+           engine: str = "auto"):
     """Super-resolve an LR light field [aH, aW, h, w, C] by params.scale.
 
     Returns the HR estimate [aH, aW, scale*h, scale*w, C] (jnp array).
     """
     lr = jnp.asarray(np.asarray(lr_lf), jnp.dtype(dtype))
     hr = upsample(lr, params.scale)
+    a_h, a_w, h, w, c = hr.shape
+    # One jitted pipeline serves every iteration: sigma enters only as the
+    # traced sigma_c argument, so the compilation key must not vary with the
+    # schedule (a per-iteration DenoiseParams(sigma=...) key was measured to
+    # retrace/recompile every iteration — n_iter full compiles).
+    dn = DenoiseParams(
+        sigma=0.0,
+        lambda_3d=params.lambda_3d,
+        color_space=params.color_space,
+        ht=params.ht,
+        wiener=params.wiener,
+        chunk=params.chunk,
+    )
+    fn = _build_denoise_jit(
+        dn, a_h, a_w, h, w, c, dtype, _resolve_engine(engine, a_h * a_w)
+    )
     schedule = sigma_schedule(params)
     for i, sigma in enumerate(schedule):
-        dn = DenoiseParams(
-            sigma=float(sigma),
-            lambda_3d=params.lambda_3d,
-            color_space=params.color_space,
-            ht=params.ht,
-            wiener=params.wiener,
-            chunk=params.chunk,
-        )
-        _, hr = run_bm5d(hr, dn, dtype=dtype)
+        sigma_c = _sigma_channels(float(sigma), params.color_space, c, dtype)
+        _, hr = fn(hr, sigma_c)
         residual = lr - downsample(hr, params.scale)
         hr = hr + params.bp_gain * upsample(residual, params.scale)
         if on_iteration is not None:

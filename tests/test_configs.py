@@ -78,11 +78,30 @@ def test_use_sd_engines_agree():
     np.testing.assert_allclose(bx, bp, atol=2e-3)
 
 
-def test_large_angular_grid_falls_back_to_xla():
-    """Config 5's 17x17 grid (289 SAIs) exceeds the kernel lane budget."""
-    assert _resolve_engine("auto", 289) == "xla"
-    assert _resolve_engine("auto", 81) in ("xla", "pallas")
-    # functional check on a (cheap) 13x13 > 128 grid slice: 12x12=144 > 128
-    clean = synthetic_lf(1, 1, 24, 24, channels=1, seed=5)  # shape probe only
-    # just assert the resolver logic; a full 17x17 run is covered by the
-    # XLA-path tests at smaller angular sizes.
+def test_resolve_engine_is_backend_based():
+    """Lane banking removed the large-grid XLA fallback: 'auto' resolves by
+    backend only (pallas on TPU, xla elsewhere); explicit choices stick even
+    for >128-SAI grids (17x17 covered functionally in tests/test_engine.py)."""
+    assert _resolve_engine("auto") == "xla"  # tests run on CPU
+    assert _resolve_engine("pallas", 289) == "pallas"
+    assert _resolve_engine("xla", 81) == "xla"
+
+
+def test_preset_merge_explicit_flag_wins():
+    """An explicit step flag overrides the preset even when its value equals
+    the documented default (regression: 'fast' preset silently forced p=6
+    over an explicit --ht-p 3)."""
+    import argparse
+
+    from lfbm5d_tpu.cli import _step_args, _step_params
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="fast")
+    _step_args(ap, "ht", 2500.0)
+    ns = ap.parse_args(["--ht-p", "3"])
+    sp = _step_params(ns, "ht", 2500.0)
+    assert sp.p == 3  # explicit flag beats the preset's p=6
+    assert sp.n_sim == 8  # preset fills unset flags
+    assert sp.n_search == 8
+    assert sp.tau_match == 2500.0  # documented default fills last
+    assert sp.tau_2d == "dct" and sp.use_sd is False

@@ -38,19 +38,29 @@ def test_sr_engines_agree():
         ht=StepParams(tau_match=2500.0, **TINY),
         wiener=StepParams(tau_match=400.0, **TINY), chunk=32,
     )
-    from lfbm5d_tpu.pipeline.sr import run_sr as _run_sr
-
-    import lfbm5d_tpu.pipeline.denoise as dn
-
-    hx = np.asarray(_run_sr(lr, params))  # engine auto -> xla on CPU
-    # force the kernel engine through the same schedule
-    orig = dn._resolve_engine
-    dn._resolve_engine = lambda e, a=0: "pallas"
-    try:
-        hp = np.asarray(_run_sr(lr, params))
-    finally:
-        dn._resolve_engine = orig
+    hx = np.asarray(run_sr(lr, params, engine="xla"))
+    hp = np.asarray(run_sr(lr, params, engine="pallas"))
     np.testing.assert_allclose(hx, hp, atol=5e-3)
+
+
+def test_sr_compiles_once_across_schedule():
+    """The sigma schedule must not retrace: one compilation serves all
+    iterations (sigma enters as a traced array argument only)."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import _build_denoise_jit
+
+    clean = synthetic_lf(2, 2, 24, 24, channels=1, disp_bg=1, seed=11)
+    lr = np.asarray(downsample(jnp.asarray(clean), 2))
+    params = SRParams(
+        scale=2, n_iter=3, sigma_init=9.0, sigma_final=3.0,
+        ht=StepParams(tau_match=2500.0, **TINY),
+        wiener=StepParams(tau_match=400.0, **TINY), chunk=32,
+    )
+    before = _build_denoise_jit.cache_info().misses
+    run_sr(lr, params)
+    after = _build_denoise_jit.cache_info().misses
+    assert after - before <= 1, (before, after)
 
 
 def test_sr_beats_bicubic():
