@@ -1,0 +1,357 @@
+"""Fully fused group kernel: extract -> 5D transform -> shrink -> inverse ->
+weighted aggregation in ONE Pallas program.
+
+Round-1 device traces showed the unfused pipeline spending ~40% of runtime on
+XLA glue around the two kernels: 181k micro-fusions, group-tensor copies, and
+a per-batch pad_maximum — all artifacts of materializing the 5D group tensors
+in HBM between the extract kernel, the XLA transform chain, and the
+accumulate kernel (docs/DESIGN_NOTES.md "Where the full-scale time goes").
+This kernel keeps the whole group life cycle in VMEM:
+
+  per (tile, plane, ref) x slot-chunk program:
+    extract   — superpatch mux (kernels/extract.py design) into VMEM scratch
+    transform — the probed in-kernel matmul chain (experiments/
+                fused_chain_probe.py): kron 2D [64,64], angular kron [L,L]
+                with L=128 (multi-free-dim dot_general minors must be
+                128-multiples on this Mosaic build), per-group stack [N,N]
+                selected from the power-of-two table by SMEM `lvl` scalars
+    shrink    — HT / Wiener in float32 (bf16 comparisons unsupported), group
+                weights via keepdims-reductions + ones-matmul lane smear
+                (rank-1 reductions / dims-1 minor broadcasts crash Mosaic)
+    inverse   — mirrored matmul chain
+    aggregate — weighted rows written back to scratch, then the race-free
+                sequential-grid RMW placement of kernels/accumulate.py into
+                per-tile num/den band accumulators
+
+Group tensors never touch HBM; per-step HBM traffic collapses to bands in +
+bands out. Reference parity: the arithmetic is op-for-op the engine's XLA
+group stage (pipeline/engine.py), itself oracle-exact; SURVEY.md §2.10 is the
+binding spec.
+
+Masked slots (stack padding beyond 2**lvl, dummy refs, tile padding) arrive
+with their per-lane disparity index set to the SENTINEL nsel*nsel: the
+extract mux then selects nothing (zero patch) and the in-kernel mask vector
+is simply (doff < nsel*nsel) — no separate mask input. This is numerically
+identical to the unfused path because the zero-padded stack matrices already
+annihilate masked slots' data (transforms/matrices.py stack_matrices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shrink_dtypes(dt):
+    """(matmul accumulation dtype, shrink/weight math dtype) for group dtype."""
+    if dt == jnp.float64:
+        return jnp.float64, jnp.float64
+    return jnp.float32, jnp.float32
+
+
+def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
+                 planes: int, refs: int, lambda_3d: float, wiener: bool,
+                 use_sd: bool, a_live: int, dt, sdt):
+    kk = k * k
+    sk = k + 2 * nd
+    nsel = 2 * nd + 1
+    sent = nsel * nsel  # sentinel disparity index for masked slots
+    gpc = sc // n_sim
+    acc_dt, wdt = _shrink_dtypes(jnp.dtype(dt))
+
+    def kernel(*refs_args):
+        if wiener:
+            (sy_ref, sx_ref, lvl_ref, sig_ref,
+             band_n_ref, band_b_ref, doff_ref,
+             k2f_ref, k2i_ref, k4f_ref, k4i_ref, stf_ref, sti_ref, kai_ref,
+             num_ref, den_ref, scr_ref, scrb_ref) = refs_args
+        else:
+            (sy_ref, sx_ref, lvl_ref, sig_ref,
+             band_n_ref, doff_ref,
+             k2f_ref, k2i_ref, k4f_ref, k4i_ref, stf_ref, sti_ref, kai_ref,
+             num_ref, den_ref, scr_ref, scrb_ref) = refs_args
+            band_b_ref = None
+
+        ip = pl.program_id(0)  # grid dim0 ordered (tile, plane, ref)
+        j = pl.program_id(1)
+        i_meta = (ip // (refs * planes)) * refs + ip % refs  # (tile, ref)
+        p_idx = (ip // refs) % planes
+
+        # band output blocks are revisited across refs and chunks
+        @pl.when((ip % refs == 0) & (j == 0))
+        def _():
+            num_ref[...] = jnp.zeros_like(num_ref)
+            den_ref[...] = jnp.zeros_like(den_ref)
+
+        # ---- extract: superpatch mux into scratch (kernels/extract.py) ----
+        def extract_one(band_ref, out_ref, s):
+            y = sy_ref[i_meta, j, s]
+            x = sx_ref[i_meta, j, s]
+            sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]  # [sk, sk, L]
+            d = doff_ref[0, s, :]  # [L]; sentinel rows select nothing -> 0
+            dy = (d // nsel)[None, None, :]
+            dx = (d - (d // nsel) * nsel)[None, None, :]
+            acc = jnp.zeros((k, sk, l), dtype=sup.dtype)
+            for m in range(nsel):
+                acc = jnp.where(dy == m, sup[m : m + k, :, :], acc)
+            patch = jnp.zeros((k, k, l), dtype=sup.dtype)
+            for m in range(nsel):
+                patch = jnp.where(dx == m, acc[:, m : m + k, :], patch)
+            out_ref[pl.ds(s * kk, kk), :] = patch.reshape(kk, l)
+
+        def ext_body(s, _):
+            extract_one(band_n_ref, scr_ref, s)
+            if wiener:
+                extract_one(band_b_ref, scrb_ref, s)
+            return 0
+
+        jax.lax.fori_loop(0, sc, ext_body, 0)
+
+        # ---- per-group stack matrices from SMEM lvl scalars ----
+        def sel(tab_ref, lv):
+            m = jnp.zeros((n_sim, n_sim), dt)
+            for d_ in range(depth):
+                m = jnp.where(lv == d_, tab_ref[d_], m)
+            return m
+
+        lvls = [lvl_ref[i_meta, j, g] for g in range(gpc)]
+        m5f = jnp.stack([sel(stf_ref, lv) for lv in lvls])  # [GPC, N, N]
+        m5i = jnp.stack([sel(sti_ref, lv) for lv in lvls])
+
+        # ---- transform chain (probed in experiments/fused_chain_probe.py;
+        # op order matches transforms.flat.forward_flat/inverse_flat) ----
+        def dg(a, b, dims):
+            r = jax.lax.dot_general(a, b, dims,
+                                    preferred_element_type=acc_dt)
+            return r.astype(dt)
+
+        def fwd(g4):
+            spec = dg(k2f_ref[...], g4, (((1,), (2,)), ((), ())))
+            spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
+            spec = jnp.transpose(spec, (1, 2, 0, 3))  # [GPC, N, P, L]
+            return dg(m5f, spec, (((2,), (1,)), ((0,), (0,))))
+
+        def inv(spec):
+            est = dg(m5i, spec, (((2,), (1,)), ((0,), (0,))))
+            est = dg(est, k4i_ref[...], (((3,), (0,)), ((), ())))
+            est = dg(k2i_ref[...], est, (((1,), (2,)), ((), ())))
+            return jnp.transpose(est, (1, 2, 0, 3))  # [GPC, N, P, L]
+
+        def smear(x_l):
+            """[GPC, 1, 1, L] per-lane partial sums -> lane-uniform totals."""
+            ones_l = jnp.ones((l, l), wdt)
+            return jax.lax.dot_general(
+                x_l, ones_l, (((3,), (0,)), ((), ())),
+                preferred_element_type=wdt)
+
+        g_n = scr_ref[...].reshape(gpc, n_sim, kk, l)
+        sig = sig_ref[p_idx].astype(wdt)
+
+        if wiener:
+            g_b = scrb_ref[...].reshape(gpc, n_sim, kk, l)
+            spec_n = fwd(g_n).astype(wdt)
+            spec_b = fwd(g_b).astype(wdt)
+            b2 = spec_b * spec_b
+            wien = b2 / (b2 + sig * sig)
+            filt = (spec_n * wien).astype(dt)
+            ws_l = jnp.sum(wien * wien, axis=(1, 2), keepdims=True)
+            wsum = smear(ws_l)  # [GPC, 1, 1, L]
+            wgt = jnp.where(
+                wsum > 0,
+                1.0 / (sig * sig * jnp.maximum(wsum, 1e-30)),
+                jnp.asarray(1.0, wdt),
+            )
+        else:
+            thr = (lambda_3d * sig).astype(wdt)
+            spec = fwd(g_n).astype(wdt)
+            keep = (jnp.abs(spec) >= thr).astype(wdt)
+            filt = (spec * keep).astype(dt)
+            nnz = smear(jnp.sum(keep, axis=(1, 2), keepdims=True))
+            wgt = jnp.where(
+                nnz > 0,
+                1.0 / (sig * sig * jnp.maximum(nnz, 1.0)),
+                jnp.asarray(1.0, wdt),
+            )
+
+        est = inv(filt)
+
+        if use_sd:
+            # SD aggregation weights (SURVEY.md §2.9 useSD): per-group sample
+            # variance of the estimate over its 2**lvl * A * k^2 live values
+            # (masked slots and dead lanes contribute exact zeros).
+            ef = est.astype(wdt)
+            s1 = smear(jnp.sum(ef, axis=(1, 2), keepdims=True))
+            s2 = smear(jnp.sum(ef * ef, axis=(1, 2), keepdims=True))
+            cnt = jnp.stack([
+                jnp.full((1, 1, l), 1.0, wdt) * jnp.asarray(
+                    float(a_live * kk), wdt
+                ) * jnp.exp2(lv.astype(wdt))
+                for lv in lvls
+            ])  # [GPC, 1, 1, L]
+            mean = s1 / cnt
+            var = s2 / cnt - mean * mean
+            wgt = jnp.where(
+                var > 0, 1.0 / jnp.maximum(var, 1e-30), jnp.asarray(1.0, wdt)
+            )
+
+        # ---- weighted rows back to scratch: num = est * wgt * mask * kaiser,
+        # den = wgt * mask * kaiser (lane-invariant across the patch) ----
+        d_all = doff_ref[0, :, :]  # [sc, L]
+        mskv = (d_all < sent).astype(wdt).reshape(gpc, n_sim, 1, l)
+        wm = (wgt * mskv).astype(dt)  # [GPC, N, 1, L]
+        kai_b = jnp.broadcast_to(kai_ref[...], (k, k, l)).reshape(1, 1, kk, l)
+        scr_ref[...] = (est * wm * kai_b).reshape(sc * kk, l)
+        # den rows (wgt * mask * kaiser, lane-invariant patch values) reuse
+        # the second scratch: in Wiener mode the basic group it held has
+        # already been consumed by fwd(g_b).
+        den_rows = jnp.broadcast_to(wm * kai_b, (gpc, n_sim, kk, l))
+        scrb_ref[...] = den_rows.reshape(sc * kk, l)
+
+        # ---- aggregation: per-lane placement + race-free RMW ----
+        def place(patch, dy, dx):
+            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                shifted = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
+                accx = jnp.where(dx == m, shifted, accx)
+            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                shifted = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
+                sup = jnp.where(dy == m, shifted, sup)
+            return sup
+
+        def agg_body(s, _):
+            y = sy_ref[i_meta, j, s]
+            x = sx_ref[i_meta, j, s]
+            d = doff_ref[0, s, :]
+            dm = jnp.minimum(d, sent - 1)  # sentinel -> mask-zeroed values
+            dy = (dm // nsel)[None, None, :]
+            dx = (dm - (dm // nsel) * nsel)[None, None, :]
+            pn = scr_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
+            pd = scrb_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
+            sup_n = place(pn, dy, dx)
+            sup_d = place(pd, dy, dx)
+            cur_n = num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
+            num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
+            cur_d = den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
+            den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_d + sup_d
+            return 0
+
+        jax.lax.fori_loop(0, sc, agg_body, 0)
+
+    return kernel
+
+
+def fused_group_step(
+    bands_n, bands_b, sy, sx, lvl, sig, doff,
+    k2f, k2i, k4f, k4i, stf, sti, kaiser,
+    *, bh: int, bw: int, k: int, nd: int, n_sim: int,
+    lambda_3d: float, wiener: bool, use_sd: bool, a_live: int,
+    planes: int, refs: int, interpret: bool = False,
+):
+    """One fused group-stage pass over all tiles of a ref-block.
+
+    bands_n/bands_b: [n_tiles*planes, bh, bw, L] noisy / basic pixel slabs,
+      SAIs on lanes (L=128 compiled; any width in interpret mode). bands_b
+      is required iff wiener.
+    sy/sx: [n_tiles*refs, n_chunks, Sc] int32 superpatch origins (SMEM).
+    lvl:   [n_tiles*refs, n_chunks, Sc//n_sim] int32 per-group stack levels.
+    sig:   [planes] float per-channel sigma (SMEM).
+    doff:  [n_tiles*refs, n_chunks, Sc, L] int32 per-lane disparity indices;
+      masked slots carry the sentinel (2nd+1)**2 on every lane.
+    k2f/k2i: [k*k, k*k]; k4f/k4i: [L, L]; stf/sti: [depth, N, N] stack
+      tables; kaiser: [k, k, 1]. All in the group dtype.
+    Returns (num_bands, den_bands): [n_tiles*planes, bh, bw, L], accumulated
+    across the full refs x chunks grid (race-free sequential RMW).
+    """
+    # The in-kernel angular matmul contracts the MATRIX'S LEADING axis
+    # (out[..., q] = sum_L spec[..., L] * M[L, q]) — the only probed-safe
+    # dot_general form — while transforms.flat's einsum "QL,bnpL->bnpQ"
+    # contracts the trailing axis. Transpose here so callers pass the same
+    # matrices as forward_flat/inverse_flat. (Caught on TPU: angular DCTs
+    # are not symmetric for grids > 2x2.)
+    k4f = k4f.T
+    k4i = k4i.T
+
+    nb, bh_, bw_, l = bands_n.shape
+    n_meta, n_chunks, sc = sy.shape
+    n_tiles = nb // planes
+    assert nb == n_tiles * planes and n_meta == n_tiles * refs
+    assert sc % n_sim == 0
+    depth = stf.shape[0]
+    dt = bands_n.dtype
+    sdt = sig.dtype
+    nb2 = n_tiles * planes * refs
+    kk = k * k
+
+    kernel = _make_kernel(
+        k, nd, sc, l, n_sim, depth, planes, refs, lambda_3d, wiener, use_sd,
+        a_live, dt, sdt,
+    )
+
+    def _band_idx(i, j, *_):
+        return (i // refs, 0, 0, 0)
+
+    def _doff_idx(i, j, *_):
+        return (((i // (refs * planes)) * refs + i % refs) * n_chunks + j,
+                0, 0)
+
+    band_spec = pl.BlockSpec((1, bh, bw, l), _band_idx,
+                             memory_space=pltpu.VMEM)
+    in_specs = [band_spec]
+    if wiener:
+        in_specs.append(band_spec)
+    in_specs.append(
+        pl.BlockSpec((1, sc, l), _doff_idx, memory_space=pltpu.VMEM)
+    )
+
+    def const_spec(shape):
+        rank = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, *_: (0,) * rank, memory_space=pltpu.VMEM
+        )
+
+    in_specs += [
+        const_spec((kk, kk)), const_spec((kk, kk)),
+        const_spec((l, l)), const_spec((l, l)),
+        const_spec((depth, n_sim, n_sim)), const_spec((depth, n_sim, n_sim)),
+        const_spec((k, k, 1)),
+    ]
+
+    out_spec = pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i // refs, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # two scratches always: [noisy group -> weighted num rows] and
+    # [basic group (wiener) -> den rows]
+    scratch = [pltpu.VMEM((sc * kk, l), dt), pltpu.VMEM((sc * kk, l), dt)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb2, n_chunks),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        scratch_shapes=scratch,
+    )
+
+    args = [sy, sx, lvl, sig, bands_n]
+    if wiener:
+        args.append(bands_b)
+    args += [
+        doff.reshape(n_meta * n_chunks, sc, l),
+        k2f, k2i, k4f, k4i, stf, sti, kaiser,
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), dt),
+            jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), dt),
+        ],
+        interpret=interpret,
+    )(*args)

@@ -37,6 +37,7 @@ from jax import lax
 from lfbm5d_tpu.config import StepParams
 from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
 from lfbm5d_tpu.kernels.extract import extract_groups
+from lfbm5d_tpu.kernels.fused import fused_group_step
 from lfbm5d_tpu.lf.pad import ind_initialize
 from lfbm5d_tpu.ops.distances import (
     center_index,
@@ -74,14 +75,22 @@ def build_kernel_step(
     rows_per_tile: int = 4,
     cols_per_tile: int = 24,
     sc: int = 64,
+    fused: bool | None = None,
 ):
     """Returns raw fn(noisy_p, match_p, sigma_c, basic_p) -> (num, den).
 
     num/den are returned in the SAI-flattened layout [A, Hp, Wp, C] (matching
     pipeline.denoise._build_step) so _finalize applies unchanged.
+
+    fused=None resolves to the fully fused single-kernel group stage
+    (kernels/fused.py) whenever the angular grid fits one 128-lane bank;
+    grids >128 SAIs run the two-kernel banked path (the in-kernel angular
+    matmul needs the full lane axis in one program).
     """
     k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
     a = a_h * a_w
+    if fused is None:
+        fused = a <= _LANES
     # Adaptive lane width: padding the angular axis all the way to 128 lanes
     # inflates every group-tensor pass by 128/A (5x for a 5x5 LF); round up
     # to a sublane multiple instead. Angular grids beyond 128 SAIs (17x17
@@ -91,8 +100,18 @@ def build_kernel_step(
     # the kernels run per (tile, bank) slab — reusing their `planes` metadata
     # mapping unchanged — and the banks join on the lane axis in XLA for the
     # angular transform.
+    #
+    # The FUSED kernel's in-kernel matmuls require 128-lane minors when
+    # compiled (experiments/mosaic_capability_probe.py: 88/96 SIGABRT), so it
+    # runs the whole pipeline at 128 lanes on TPU. Lane width is vreg-
+    # quantized anyway (a [*, 32] op costs the same vector work as [*, 128]),
+    # so this only costs band VMEM/bandwidth, which fusion more than repays.
+    # Interpret mode (CPU tests) keeps the narrow adaptive width.
+    if fused and a > _LANES:
+        raise ValueError("fused engine requires a <= 128 SAIs")
     if a <= _LANES:
-        banks, kl = 1, max(8, _round_up(a, 8))
+        banks = 1
+        kl = _LANES if (fused and not interpret) else max(8, _round_up(a, 8))
     else:
         banks = _cdiv(a, _LANES)
         kl = _LANES
@@ -199,7 +218,18 @@ def build_kernel_step(
     )  # [nT*R*tt_pad]
     kaiser_np = np.asarray(tm.kaiser_window(k))  # host copy for the fused kernel
     kaiser_flat = jnp.asarray(kaiser_np.reshape(-1), dtype=dt)  # [64]
+    kaiser_3d = jnp.asarray(kaiser_np.reshape(k, k, 1), dtype=dt)
     ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=dt)
+    sdt = jnp.float64 if dt == jnp.float64 else jnp.float32
+    sent = (2 * nd + 1) ** 2  # masked-slot sentinel disparity index
+    # Fused-call tile batching: sy/sx/lvl ride scalar prefetch, and one
+    # (tile, ref) row costs cpt*(2*sc + gpc)*4 bytes of SMEM — the full
+    # reference grid at 9x9 defaults would need ~30 MB against the ~1 MB
+    # scalar budget, so the fused kernel runs over tile ranges.
+    smem_row = cpt * (2 * sc + gpc) * 4
+    tiles_per_call = min(
+        n_tiles, max(1, 330_000 // max(r_batch * smem_row, 1))
+    )
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
@@ -232,22 +262,32 @@ def build_kernel_step(
 
         # bands are ref-SAI-invariant: build every batch's kernel input once
         # per step, outside the scan (tile-major, plane-minor ordering)
-        bands_by_batch = []
-        for b0 in range(0, n_tiles, tiles_per_batch):
-            b1 = min(n_tiles, b0 + tiles_per_batch)
-            band_list = []
-            for ti in range(b0, b1):
+        if fused:
+            bn_list, bb_list = [], []
+            for ti in range(n_tiles):
                 oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
-                for bk in range(banks):
-                    l0 = bk * kl
-                    band_list.append(
-                        tab[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
-                    )
-                    if wiener:
+                bn_list.append(tab[:, oy : oy + bh, ox : ox + bw, :])
+                if wiener:
+                    bb_list.append(tab_b[:, oy : oy + bh, ox : ox + bw, :])
+            bands_n = jnp.concatenate(bn_list, axis=0)
+            bands_b = jnp.concatenate(bb_list, axis=0) if wiener else None
+        else:
+            bands_by_batch = []
+            for b0 in range(0, n_tiles, tiles_per_batch):
+                b1 = min(n_tiles, b0 + tiles_per_batch)
+                band_list = []
+                for ti in range(b0, b1):
+                    oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
+                    for bk in range(banks):
+                        l0 = bk * kl
                         band_list.append(
-                            tab_b[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
+                            tab[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
                         )
-            bands_by_batch.append(jnp.concatenate(band_list, axis=0))
+                        if wiener:
+                            band_list.append(
+                                tab_b[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
+                            )
+                bands_by_batch.append(jnp.concatenate(band_list, axis=0))
 
         num0 = jnp.zeros((c, hp2, wp2, a_pad), dt)
         den0 = jnp.zeros((c, hp2, wp2, a_pad), dt)
@@ -339,6 +379,50 @@ def build_kernel_step(
             sx_all = jnp.clip(
                 qx_all - nd - tile_ox_c[:, None, None, None], 0, bw - sk
             )
+
+            if fused:
+                # --- fused kernel over tile ranges: extract -> transform ->
+                # shrink -> inverse -> aggregate entirely in VMEM
+                # (kernels/fused.py). Masked slots are encoded by the
+                # sentinel disparity index, so the kernel needs no mask
+                # input and extraction yields exact zeros for them. Ranges
+                # are sized by the scalar-prefetch SMEM budget.
+                n_meta = n_tiles * r_batch
+                sy_k = sy_all.reshape(n_meta, cpt, sc)
+                sx_k = sx_all.reshape(n_meta, cpt, sc)
+                lvl_k = glvl_all.reshape(n_meta, cpt, gpc).astype(jnp.int32)
+                smask_s = smask_all.reshape(n_tiles, r_batch, cpt, sc)
+                doff_k = jnp.where(
+                    smask_s[..., None], doff_all, sent
+                ).reshape(n_meta, cpt, sc, a_pad).astype(jnp.int32)
+                sig_k = sigma_c.astype(sdt)
+                for t0 in range(0, n_tiles, tiles_per_call):
+                    t1 = min(n_tiles, t0 + tiles_per_call)
+                    tb = t1 - t0
+                    m0, m1 = t0 * r_batch, t1 * r_batch
+                    nb_out, db_out = fused_group_step(
+                        bands_n[t0 * c : t1 * c],
+                        bands_b[t0 * c : t1 * c] if wiener else None,
+                        sy_k[m0:m1], sx_k[m0:m1], lvl_k[m0:m1],
+                        sig_k, doff_k[m0:m1],
+                        ft.k2f, ft.k2i, ft.k4f, ft.k4i,
+                        ft.stack_f, ft.stack_i, kaiser_3d,
+                        bh=bh, bw=bw, k=k, nd=nd, n_sim=n_sim,
+                        lambda_3d=lambda_3d, wiener=wiener,
+                        use_sd=sp.use_sd, a_live=a, planes=c,
+                        refs=r_batch, interpret=interpret,
+                    )
+                    nb_out = nb_out.reshape(tb, c, bh, bw, a_pad)
+                    db_out = db_out.reshape(tb, c, bh, bw, a_pad)
+                    for i, ti in enumerate(range(t0, t1)):
+                        oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
+                        num = num.at[:, oy : oy + bh, ox : ox + bw, :].add(
+                            nb_out[i]
+                        )
+                        den = den.at[:, oy : oy + bh, ox : ox + bw, :].add(
+                            db_out[i]
+                        )
+                return (num, den), None
 
             # --- tile batches: one extract / transform / accumulate call per
             # batch (static band slices, no per-tile loop — the per-iteration

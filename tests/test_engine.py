@@ -94,3 +94,49 @@ def test_engines_agree_banked_beyond_128_sais():
     bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
     assert np.abs(np.asarray(bx) - np.asarray(bp)).max() < 1e-9
     assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-9
+
+
+def test_fused_engine_matches_unfused_3x3_f64():
+    """The fused single-kernel path vs the two-kernel path, f64-exact.
+
+    Uses a 3x3 angular grid: angular DCT matrices are asymmetric for grids
+    beyond 2x2, which catches transposed-matrix bugs in the in-kernel
+    matmul chain (a real round-2 bug: every 2x2-grid test passed while 3x3
+    diverged), plus multiple tiles/chunks and a dummy ref block (9 SAIs do
+    not divide the ref batch).
+    """
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import (
+        _build_step, _flat_pad, _sigma_channels,
+    )
+    from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+    sp = StepParams(tau_match=2500.0, n_sim=8, n_search=4, n_disp=1, k=8, p=3)
+    ah, aw, h, w, c = 3, 3, 48, 64, 1
+    clean = synthetic_lf(ah, aw, h, w, channels=1, seed=0)
+    noisy = add_noise_np(clean, 25.0, seed=1)
+    xp = _flat_pad(jnp.asarray(noisy, jnp.float64), sp.pad)
+    sig = _sigma_channels(25.0, "rgb", c, "float64")
+
+    fx = _build_step(sp, 2.7, ah, aw, h, w, c, 32, False, "float64")
+    args = (sp, 2.7, ah, aw, h, w, c, False, "float64")
+    f_fused = build_kernel_step(*args, interpret=True, fused=True)
+    f_two = build_kernel_step(*args, interpret=True, fused=False)
+    nx, dx = fx(xp, xp, sig, None)
+    nf, df = f_fused(xp, xp, sig, None)
+    nt, dt_ = f_two(xp, xp, sig, None)
+    assert np.abs(np.asarray(nx) - np.asarray(nf)).max() < 1e-9
+    assert np.abs(np.asarray(dx) - np.asarray(df)).max() < 1e-12
+    assert np.abs(np.asarray(nt) - np.asarray(nf)).max() < 1e-9
+
+
+def test_fused_engine_wiener_3x3_f64():
+    """Two-step fused vs XLA on a 3x3 grid in f64 (Wiener + dual groups)."""
+    p = params()
+    clean = synthetic_lf(3, 3, 20, 24, channels=1, seed=6)
+    noisy = add_noise_np(clean, 20.0, seed=7)
+    bx, fx = run_bm5d(noisy, p, dtype="float64", engine="xla")
+    bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
+    assert np.abs(np.asarray(bx) - np.asarray(bp)).max() < 1e-9
+    assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-9
