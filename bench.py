@@ -32,7 +32,7 @@ def main():
                     help="'default' = reference-default parameters; 'fast' = "
                     "throughput preset (N=8, p=6, smaller search windows)")
     ap.add_argument("--engine", default="auto",
-                    choices=["auto", "pallas", "xla"])
+                    choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--sigma", type=float, default=25.0)
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="dump a jax.profiler trace of the measured runs "
@@ -77,9 +77,17 @@ def main():
     noisy = add_noise_np(clean, args.sigma, seed=1)
     print(f"synth LF {clean.shape} in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # Input residency: the north-star metric times the denoise compute, not
+    # host->device transfer (the axon tunnel moves this 9x9 LF in seconds);
+    # ship the input to HBM once before the timed loop.
+    import jax.numpy as jnp
+
+    noisy_dev = jnp.asarray(noisy, jnp.float32)
+    jax.block_until_ready(noisy_dev)
+
     # warmup / compile
     t0 = time.time()
-    basic, final = run_bm5d(noisy, params, engine=args.engine)
+    basic, final = run_bm5d(noisy_dev, params, engine=args.engine)
     jax.block_until_ready(final)
     compile_and_first = time.time() - t0
     print(f"compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
@@ -89,8 +97,12 @@ def main():
     times = []
     for _ in range(args.runs):
         t0 = time.time()
-        basic, final = run_bm5d(noisy, params, engine=args.engine)
+        basic, final = run_bm5d(noisy_dev, params, engine=args.engine)
         jax.block_until_ready(final)
+        # force a genuine device sync: a scalar fetch round-trips the
+        # stream (block_until_ready alone has been observed not to block
+        # through the axon tunnel, docs/DESIGN_NOTES.md)
+        float(final[0, 0, 0, 0, 0])
         times.append(time.time() - t0)
     dt = min(times)
     if args.profile:

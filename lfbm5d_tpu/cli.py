@@ -108,7 +108,7 @@ def _common_io_args(ap):
     ap.add_argument("--color-space", default="opp",
                     choices=["opp", "yuv", "ycbcr", "rgb"])
     ap.add_argument("--engine", default="auto",
-                    choices=["auto", "pallas", "xla"])
+                    choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--preset", default="default",
                     choices=sorted(_PRESETS),
                     help="parameter preset; explicit per-step flags override")

@@ -53,6 +53,13 @@ def _shrink_dtypes(dt):
     return jnp.float32, jnp.float32
 
 
+def _out_dtype(dt):
+    """Band accumulator dtype: bf16 groups still accumulate in f32 (hundreds
+    of RMW adds per pixel would lose ~3 significant bits per doubling in
+    bf16; the num/den ratio does not cancel accumulation error)."""
+    return jnp.float32 if jnp.dtype(dt) == jnp.bfloat16 else jnp.dtype(dt)
+
+
 def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                  planes: int, refs: int, lambda_3d: float, wiener: bool,
                  use_sd: bool, a_live: int, dt, sdt):
@@ -223,6 +230,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 sup = jnp.where(dy == m, shifted, sup)
             return sup
 
+        out_dt = _out_dtype(dt)
+
         def agg_body(s, _):
             y = sy_ref[i_meta, j, s]
             x = sx_ref[i_meta, j, s]
@@ -232,8 +241,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             dx = (dm - (dm // nsel) * nsel)[None, None, :]
             pn = scr_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
             pd = scrb_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
-            sup_n = place(pn, dy, dx)
-            sup_d = place(pd, dy, dx)
+            sup_n = place(pn, dy, dx).astype(out_dt)
+            sup_d = place(pd, dy, dx).astype(out_dt)
             cur_n = num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
             num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
             cur_d = den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
@@ -343,6 +352,7 @@ def fused_group_step(
         k2f, k2i, k4f, k4i, stf, sti, kaiser,
     ]
 
+    out_dt = _out_dtype(dt)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -350,8 +360,8 @@ def fused_group_step(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), dt),
-            jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), dt),
+            jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), out_dt),
+            jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), out_dt),
         ],
         interpret=interpret,
     )(*args)

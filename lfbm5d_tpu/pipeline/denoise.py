@@ -177,6 +177,9 @@ def _build_step(
 def _resolve_engine(engine: str, a: int = 0) -> str:
     """'auto' -> the Pallas kernel engine on TPU, the XLA path elsewhere.
 
+    'pallas_bf16' runs the kernel engine's group path in bfloat16 (BM and
+    accumulation stay f32; fused engine only, so angular grids <= 128 SAIs).
+
     Angular grids beyond 128 SAIs (e.g. 17x17 HCI) widen the kernel
     engine's lane axis past one vector register; the kernels handle this
     (Mosaic masks the trailing vregs), so no fallback is needed.
@@ -192,12 +195,13 @@ def _raw_step(
     sp, lambda_3d, a_h, a_w, h, w, c, chunk, wiener, dtype, engine
 ):
     engine = _resolve_engine(engine, a_h * a_w)
-    if engine == "pallas":
+    if engine.startswith("pallas"):
         from lfbm5d_tpu.pipeline.engine import build_kernel_step
 
         return build_kernel_step(
             sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
             interpret=jax.default_backend() != "tpu",
+            group_dtype="bfloat16" if engine == "pallas_bf16" else None,
         )
     return _build_step(sp, lambda_3d, a_h, a_w, h, w, c, chunk, wiener, dtype)
 
@@ -324,7 +328,12 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
     Returns (basic, final) jnp arrays in the input color space. engine:
     'auto' (Pallas kernels on TPU, XLA elsewhere), 'pallas', or 'xla'.
     """
-    lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
+    # device arrays pass through as-is (np.asarray would round-trip them
+    # back to the host — seconds through the axon tunnel at 9x9 scale)
+    if isinstance(noisy_lf, jax.Array):
+        lf = noisy_lf.astype(jnp.dtype(dtype))
+    else:
+        lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
     a_h, a_w, h, w, c = lf.shape
     fn = _build_denoise_jit(
         params, a_h, a_w, h, w, c, dtype, _resolve_engine(engine, a_h * a_w)

@@ -76,6 +76,7 @@ def build_kernel_step(
     cols_per_tile: int = 24,
     sc: int = 64,
     fused: bool | None = None,
+    group_dtype: str | None = None,
 ):
     """Returns raw fn(noisy_p, match_p, sigma_c, basic_p) -> (num, den).
 
@@ -86,11 +87,18 @@ def build_kernel_step(
     (kernels/fused.py) whenever the angular grid fits one 128-lane bank;
     grids >128 SAIs run the two-kernel banked path (the in-kernel angular
     matmul needs the full lane axis in one program).
+
+    group_dtype (e.g. "bfloat16") runs the GROUP PATH — bands, extract mux,
+    transform matmuls (f32 accumulation), weighted rows, aggregation mux —
+    in that dtype while BM, shrink/weight math, and the band accumulators
+    stay float32. Fused path only.
     """
     k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
     a = a_h * a_w
     if fused is None:
         fused = a <= _LANES
+    if group_dtype is not None and not fused:
+        raise ValueError("group_dtype requires the fused engine (a <= 128)")
     # Adaptive lane width: padding the angular axis all the way to 128 lanes
     # inflates every group-tensor pass by 128/A (5x for a 5x5 LF); round up
     # to a sublane multiple instead. Angular grids beyond 128 SAIs (17x17
@@ -216,19 +224,23 @@ def build_kernel_step(
         (tile_groups[:, None, :] + (roff * tnp1)[None, :, None])
         .astype(np.int32).reshape(-1)
     )  # [nT*R*tt_pad]
+    gdt = jnp.dtype(group_dtype) if group_dtype else dt
     kaiser_np = np.asarray(tm.kaiser_window(k))  # host copy for the fused kernel
     kaiser_flat = jnp.asarray(kaiser_np.reshape(-1), dtype=dt)  # [64]
-    kaiser_3d = jnp.asarray(kaiser_np.reshape(k, k, 1), dtype=dt)
-    ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=dt)
+    kaiser_3d = jnp.asarray(kaiser_np.reshape(k, k, 1), dtype=gdt)
+    ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=gdt)
     sdt = jnp.float64 if dt == jnp.float64 else jnp.float32
     sent = (2 * nd + 1) ** 2  # masked-slot sentinel disparity index
     # Fused-call tile batching: sy/sx/lvl ride scalar prefetch, and one
     # (tile, ref) row costs cpt*(2*sc + gpc)*4 bytes of SMEM — the full
     # reference grid at 9x9 defaults would need ~30 MB against the ~1 MB
     # scalar budget, so the fused kernel runs over tile ranges.
+    # (measured: a 330 KB prefetch array set compiled to 1.29 MB SMEM use —
+    # Mosaic roughly doubles it and needs headroom for grid state, so budget
+    # ~120 KB of payload)
     smem_row = cpt * (2 * sc + gpc) * 4
     tiles_per_call = min(
-        n_tiles, max(1, 330_000 // max(r_batch * smem_row, 1))
+        n_tiles, max(1, 120_000 // max(r_batch * smem_row, 1))
     )
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
@@ -249,7 +261,7 @@ def build_kernel_step(
 
     def to_table(xp):
         """[A, Hp, Wp, C] -> A-on-lanes tables [C, Hp2, Wp2, L]."""
-        t = jnp.transpose(xp, (3, 1, 2, 0)).astype(dt)
+        t = jnp.transpose(xp, (3, 1, 2, 0)).astype(gdt)
         return jnp.pad(
             t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, a_pad - a))
         )

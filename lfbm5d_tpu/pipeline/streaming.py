@@ -30,30 +30,26 @@ def denoise_batch(
 
     With a mesh, the batch axis is sharded over the mesh's single axis
     (B must be divisible by the axis size). Returns (basic, final) batches.
-    engine defaults to the XLA path: the Pallas kernels are per-LF programs
-    and are not yet vmap/shard_map-batchable.
+
+    Engine batching: the XLA path vmaps over the local shard; the Pallas
+    kernel engine is a per-LF grid program (not vmap-batchable), so its
+    shard streams through `lax.map` — one compiled program per device, LFs
+    in sequence, full kernel throughput per LF. Either form shards over the
+    mesh with shard_map (SURVEY.md §5.8: whole LFs are embarrassingly
+    parallel; no collectives inside an LF).
     """
     lfs = jnp.asarray(np.asarray(lfs), jnp.dtype(dtype))
     b, a_h, a_w, h, w, c = lfs.shape
     fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
 
-    if engine == "pallas":
-        # Pallas programs are per-LF and not vmap-batchable; stream the
-        # batch sequentially through one compiled program instead.
-        if mesh is not None:
-            raise ValueError(
-                "engine='pallas' streams sequentially; mesh sharding uses "
-                "the XLA engine (engine='xla')"
-            )
-        jfn = jax.jit(fn)
-        outs = [jfn(lfs[i], sigma_c) for i in range(b)]
-        return (
-            jnp.stack([o[0] for o in outs]),
-            jnp.stack([o[1] for o in outs]),
-        )
-
-    vfn = jax.vmap(lambda lf: fn(lf, sigma_c))
+    if engine.startswith("pallas") or (
+        engine == "auto" and jax.default_backend() == "tpu"
+    ):
+        def vfn(shard):
+            return jax.lax.map(lambda lf: fn(lf, sigma_c), shard)
+    else:
+        vfn = jax.vmap(lambda lf: fn(lf, sigma_c))
 
     if mesh is None:
         return jax.jit(vfn)(lfs)

@@ -140,3 +140,18 @@ def test_fused_engine_wiener_3x3_f64():
     bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
     assert np.abs(np.asarray(bx) - np.asarray(bp)).max() < 1e-9
     assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-9
+
+
+def test_bf16_group_path_psnr():
+    """pallas_bf16: bands/mux/matmuls in bfloat16, BM + shrink math +
+    accumulators in f32. Interpret mode; quality bar: within 0.1 dB of the
+    f32 engine on a small LF (the 0.05 dB budget is checked on-chip at
+    bench scale, BASELINE.md)."""
+    clean = synthetic_lf(3, 3, 32, 40, channels=3, seed=8)
+    noisy = add_noise_np(clean, 25.0, seed=9)
+    p = params(sigma=25.0)
+    _, f32 = run_bm5d(noisy, p, engine="pallas")
+    _, bf16 = run_bm5d(noisy, p, engine="pallas_bf16")
+    ps_f32 = psnr(np.clip(np.asarray(f32), 0, 255), clean)
+    ps_bf16 = psnr(np.clip(np.asarray(bf16), 0, 255), clean)
+    assert abs(ps_f32 - ps_bf16) < 0.1, (ps_f32, ps_bf16)

@@ -61,3 +61,18 @@ def test_sharded_matches_unsharded(batch):
 def test_batch_not_divisible_raises(batch):
     with pytest.raises(ValueError):
         denoise_batch(batch[:3], params(), mesh=make_mesh(4))
+
+
+def test_sharded_pallas_engine_matches_unsharded(batch):
+    """Config 5 with the KERNEL engine: lax.map streams each device's shard
+    through the per-LF Pallas program inside shard_map (VERDICT round-1
+    item 5: the kernel engine and the multi-chip story must compose)."""
+    p = params()
+    mesh = make_mesh(4)
+    b_u, f_u = denoise_batch(batch, p, engine="pallas")
+    b_s, f_s = denoise_batch(batch, p, mesh=mesh, engine="pallas")
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b_s), np.asarray(b_u), atol=1e-4)
+    # and the kernel engine agrees with the sharded XLA engine
+    _, f_x = denoise_batch(batch, p, mesh=make_mesh(2), engine="xla")
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_x), atol=2e-3)
