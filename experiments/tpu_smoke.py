@@ -1,0 +1,105 @@
+"""On-TPU kernel smoke check (VERDICT round-1 hygiene item).
+
+The pytest suite runs every Pallas kernel in INTERPRET mode on CPU, which
+cannot catch Mosaic compile regressions or compiled-vs-interpret divergence
+(round-2 example: a transposed angular matrix that every 2x2-grid CPU test
+missed). This script runs ON THE CHIP in a few minutes and exits nonzero on
+any failure:
+
+  1. fused group kernel: compiled == interpret, bit-exact, 4 shape cases
+  2. BM kernel vs the XLA displacement scan: candidate maps equal up to
+     quantization-boundary flips (< 1e-4 of positions)
+  3. end-to-end run_bm5d: Pallas engine vs XLA engine PSNR within 0.05 dB,
+     both beating the noisy input
+
+Usage: python experiments/tpu_smoke.py
+"""
+
+import sys
+
+import numpy as np
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    print(f"{'OK  ' if ok else 'FAIL'} {name} {detail}")
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print("ERROR: not on TPU; this smoke check must run on the chip")
+        return 2
+
+    # --- 1. fused kernel compiled vs interpret ---
+    from experiments.fused_kernel_probe import probe
+
+    for case in (
+        dict(n_tiles=2, planes=2, refs=2, cpt=2),
+        dict(n_tiles=2, planes=2, refs=2, cpt=2, wiener=True),
+        dict(n_tiles=1, planes=1, refs=1, cpt=1, nd=2),
+        dict(n_tiles=1, planes=1, refs=1, cpt=1, use_sd=True),
+    ):
+        try:
+            check(f"fused {case}", probe(**case))
+        except Exception as e:
+            check(f"fused {case}", False, f"{type(e).__name__}: {e}")
+
+    # --- 2. BM kernel vs XLA scan ---
+    from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
+    from lfbm5d_tpu.ops.distances import cross_argmin
+
+    rng = np.random.default_rng(0)
+    hp, wp, k, nd, a = 220, 300, 8, 2, 5
+    planes = jnp.asarray(rng.random((a, hp, wp)) * 255, jnp.float32)
+    wq = -(-(wp + 2 * nd) // 128) * 128
+    ref_ext = jnp.pad(planes[2], ((0, 2 * nd), (0, wq - wp)))
+    others_ext = jnp.pad(planes, ((0, 0), (nd, nd), (nd, wq - wp - nd)))
+    outk = np.asarray(cross_argmin_all_kernel(ref_ext, others_ext, k, nd))
+    v0, v1 = hp - k + 1, wp - k + 1
+    worst = 0.0
+    for ai in range(a):
+        ref_map = np.asarray(cross_argmin(planes[2], planes[ai], k, nd))
+        worst = max(worst, float((ref_map != outk[ai, :v0, :v1]).mean()))
+    check("bm kernel vs xla scan", worst < 1e-4,
+          f"worst mismatch fraction {worst:.2e}")
+
+    # --- 3. end-to-end engine agreement on-chip ---
+    from lfbm5d_tpu.config import DenoiseParams, StepParams
+    from lfbm5d_tpu.lf import psnr, synthetic_lf
+    from lfbm5d_tpu.lf.noise import add_noise_np
+    from lfbm5d_tpu.pipeline import run_bm5d
+
+    tiny = dict(n_sim=8, n_search=4, n_disp=1, k=8, p=3)
+    p = DenoiseParams(
+        sigma=25.0,
+        ht=StepParams(tau_match=2500.0, **tiny),
+        wiener=StepParams(tau_match=400.0, **tiny),
+        chunk=64,
+    )
+    clean = synthetic_lf(3, 3, 48, 64, channels=3, seed=0)
+    noisy = add_noise_np(clean, 25.0, seed=1)
+    p_noisy = psnr(np.clip(noisy, 0, 255), clean)
+    psnrs = {}
+    for eng in ("pallas", "xla"):
+        _, final = run_bm5d(noisy, p, engine=eng)
+        psnrs[eng] = psnr(np.clip(np.asarray(final), 0, 255), clean)
+    check(
+        "engines e2e psnr",
+        abs(psnrs["pallas"] - psnrs["xla"]) < 0.05
+        and psnrs["pallas"] > p_noisy + 3.0,
+        f"pallas {psnrs['pallas']:.3f} xla {psnrs['xla']:.3f} "
+        f"noisy {p_noisy:.2f}",
+    )
+
+    print("SMOKE:", "PASS" if not FAILED else f"FAIL ({FAILED})")
+    return 0 if not FAILED else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

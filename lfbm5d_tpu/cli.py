@@ -217,7 +217,7 @@ def cmd_sr(ns) -> int:
         sigma_final=ns.sigma_final, color_space=ns.color_space,
         lambda_3d=ns.lam, ht=_step_params(ns, "ht", 2500.0),
         wiener=_step_params(ns, "wien", 400.0), bp_gain=ns.bp_gain,
-        chunk=ns.chunk,
+        decimation_blur=ns.decimation_blur, chunk=ns.chunk,
     )
 
     def checkpoint(i, hr):
@@ -240,7 +240,71 @@ def cmd_sr(ns) -> int:
     return 0
 
 
+# Reference-style positional contract (SURVEY.md §2.9: one positional-arg CLI,
+# ~30 args; the mount was empty all rounds, so the ORDER below is this
+# project's documented reconstruction of the IPOL-lineage convention — the
+# parameter vocabulary and semantics are the firm part of the spec):
+#
+#   lfbm5d denoise INPUT_DIR PATTERN AWIDTH AHEIGHT S_OFF T_OFF SIGMA
+#       ADD_NOISE(0|1) LAMBDA
+#       N_HARD N_SEARCH_HARD NDISP_HARD K_HARD P_HARD TAU2D_HARD USESD_HARD
+#       TAU4D_HARD TAU5D_HARD
+#       N_WIEN N_SEARCH_WIEN NDISP_WIEN K_WIEN P_WIEN TAU2D_WIEN USESD_WIEN
+#       TAU4D_WIEN TAU5D_WIEN
+#       COLOR_SPACE OUTPUT_DIR BASIC_DIR|none DIFF_DIR|none
+#
+# ADD_NOISE=1 treats the input as clean, synthesizes AWGN of std SIGMA and
+# reports PSNR (the reference's experiment mode, SURVEY.md §2.9 "Noise").
+_POSITIONAL_DENOISE = 31
+
+
+def _positional_to_flags(rest: list[str]) -> list[str]:
+    """Translate the reference-style positional block to the flagged form."""
+    if len(rest) != _POSITIONAL_DENOISE:
+        raise SystemExit(
+            f"error: positional denoise form takes exactly "
+            f"{_POSITIONAL_DENOISE} arguments, got {len(rest)} "
+            "(see the module docstring for the order)"
+        )
+    (inp, pattern, aw, ah, soff, toff, sigma, addn, lam,
+     nh, nsh, ndh, kh, ph, t2h, sdh, t4h, t5h,
+     nw, nsw, ndw, kw, pw, t2w, sdw, t4w, t5w,
+     cs, outd, basicd, diffd) = rest
+    args = [
+        "denoise", "--input", inp, "--pattern", pattern,
+        "--awidth", aw, "--aheight", ah, "--s-offset", soff,
+        "--t-offset", toff, "--sigma", sigma, "--lam", lam,
+        "--color-space", cs, "--output", outd,
+        "--ht-nsim", nh, "--ht-nsearch", nsh, "--ht-ndisp", ndh,
+        "--ht-k", kh, "--ht-p", ph, "--ht-tau2d", t2h,
+        "--ht-tau4d", t4h, "--ht-tau5d", t5h,
+        "--wien-nsim", nw, "--wien-nsearch", nsw, "--wien-ndisp", ndw,
+        "--wien-k", kw, "--wien-p", pw, "--wien-tau2d", t2w,
+        "--wien-tau4d", t4w, "--wien-tau5d", t5w,
+    ]
+    if int(addn):
+        args += ["--sigma-add", sigma]
+    if int(sdh):
+        args += ["--ht-usesd"]
+    if int(sdw):
+        args += ["--wien-usesd"]
+    if basicd.lower() != "none":
+        args += ["--basic", basicd]
+    if diffd.lower() != "none":
+        args += ["--diff", diffd]
+    return args
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # reference-style positional block: `lfbm5d denoise <31 positionals>`
+    if (
+        len(argv) >= 2
+        and argv[0] == "denoise"
+        and not argv[1].startswith("-")
+    ):
+        argv = _positional_to_flags(list(argv[1:]))
     ap = argparse.ArgumentParser(
         prog="lfbm5d", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
@@ -276,6 +340,9 @@ def main(argv=None) -> int:
     sr.add_argument("--sigma-init", type=float, default=12.0)
     sr.add_argument("--sigma-final", type=float, default=1.0)
     sr.add_argument("--bp-gain", type=float, default=1.0)
+    sr.add_argument("--decimation-blur", type=float, default=0.0,
+                    help="Gaussian pre-blur std of the IBP decimation model "
+                    "(0 = plain box average)")
     sr.add_argument("--lam", type=float, default=2.7)
     sr.add_argument("--chunk", type=int, default=128)
     sr.add_argument("--output", required=True, help="HR LF directory")

@@ -134,6 +134,9 @@ class SRParams:
     wiener: StepParams = dataclasses.field(default_factory=default_wiener_params)
     # Back-projection gain.
     bp_gain: float = 1.0
+    # Gaussian pre-blur std of the decimation model (0 = plain box average;
+    # >0 = anti-aliased blur+decimate, the classical IBP model).
+    decimation_blur: float = 0.0
     chunk: int = 256
 
     def replace(self, **kw) -> "SRParams":

@@ -95,10 +95,15 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             den_ref[...] = jnp.zeros_like(den_ref)
 
         # ---- extract: superpatch mux into scratch (kernels/extract.py) ----
+        # Bands may arrive WIDER than the group dtype (bf16 mode keeps them
+        # f32: Mosaic cannot do unaligned dynamic sublane slices on
+        # (16,128)-tiled bf16 arrays — "index in dimension 2 must be a
+        # multiple of 8" — so the dynamic superpatch load stays f32 and the
+        # cast happens right after; the mux then runs at bf16 width).
         def extract_one(band_ref, out_ref, s):
             y = sy_ref[i_meta, j, s]
             x = sx_ref[i_meta, j, s]
-            sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]  # [sk, sk, L]
+            sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :].astype(dt)
             d = doff_ref[0, s, :]  # [L]; sentinel rows select nothing -> 0
             dy = (d // nsel)[None, None, :]
             dx = (d - (d // nsel) * nsel)[None, None, :]
@@ -291,7 +296,7 @@ def fused_group_step(
     assert nb == n_tiles * planes and n_meta == n_tiles * refs
     assert sc % n_sim == 0
     depth = stf.shape[0]
-    dt = bands_n.dtype
+    dt = k2f.dtype  # group dtype; bands may stay f32 (bf16 mode)
     sdt = sig.dtype
     nb2 = n_tiles * planes * refs
     kk = k * k

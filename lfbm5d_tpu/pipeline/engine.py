@@ -36,6 +36,7 @@ from jax import lax
 
 from lfbm5d_tpu.config import StepParams
 from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
+from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
 from lfbm5d_tpu.kernels.extract import extract_groups
 from lfbm5d_tpu.kernels.fused import fused_group_step
 from lfbm5d_tpu.lf.pad import ind_initialize
@@ -231,6 +232,15 @@ def build_kernel_step(
     ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=gdt)
     sdt = jnp.float64 if dt == jnp.float64 else jnp.float32
     sent = (2 * nd + 1) ** 2  # masked-slot sentinel disparity index
+    # Angular BM via the Pallas kernel (kernels/bm.py) in compiled mode: the
+    # XLA displacement scan round-trips ~10 MB of plane intermediates per
+    # displacement through HBM (~3.3 s of a 35.7 s fast-preset run); the
+    # kernel keeps the whole loop in VMEM (measured 123 us/pair vs ~230 us,
+    # plus the scan overhead disappears). Interpret mode keeps the scan —
+    # its reduce_window summation order is what the f64 oracle tests pin.
+    use_bm_kernel = (not interpret) and (k & (k - 1)) == 0
+    wq_bm = _round_up(wp + 2 * nd, _LANES)
+    v1k = wq_bm - 2 * nd - k + 1  # kernel BM map width (>= v1)
     # Fused-call tile batching: sy/sx/lvl ride scalar prefetch, and one
     # (tile, ref) row costs cpt*(2*sc + gpc)*4 bytes of SMEM — the full
     # reference grid at 9x9 defaults would need ~30 MB against the ~1 MB
@@ -260,8 +270,12 @@ def build_kernel_step(
     )
 
     def to_table(xp):
-        """[A, Hp, Wp, C] -> A-on-lanes tables [C, Hp2, Wp2, L]."""
-        t = jnp.transpose(xp, (3, 1, 2, 0)).astype(gdt)
+        """[A, Hp, Wp, C] -> A-on-lanes tables [C, Hp2, Wp2, L].
+
+        Bands stay in the pipeline dtype even in bf16 mode: the kernel's
+        dynamic superpatch slice requires f32 (sublane-tile alignment);
+        the cast to the group dtype happens in-kernel after the load."""
+        t = jnp.transpose(xp, (3, 1, 2, 0)).astype(dt)
         return jnp.pad(
             t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, a_pad - a))
         )
@@ -271,6 +285,13 @@ def build_kernel_step(
         tab = to_table(noisy_p)
         tab_b = to_table(basic_p) if wiener else None
         sigma_c = sigma_c.astype(dt)
+
+        if use_bm_kernel:
+            # every SAI plane zero-extended by nd and lane-padded, built
+            # once per step (shared by every ref's BM kernel call)
+            others_ext = jnp.pad(
+                match0, ((0, 0), (nd, nd), (nd, wq_bm - wp - nd))
+            )
 
         # bands are ref-SAI-invariant: build every batch's kernel input once
         # per step, outside the scan (tile-major, plane-minor ordering)
@@ -324,10 +345,18 @@ def build_kernel_step(
                 sy = pos_y[:, None] + offs[..., 0]  # [T, N]
                 sx = pos_x[:, None] + offs[..., 1]
 
-                def per_a(_, ai):
-                    return _, cross_argmin(im, match0[ai], k, nd)
+                if use_bm_kernel:
+                    ref_ext = jnp.pad(im, ((0, 2 * nd), (0, wq_bm - wp)))
+                    bidx = cross_argmin_all_kernel(
+                        ref_ext, others_ext, k, nd
+                    )  # [A, V0, V1k] (cols >= v1 junk, never sampled)
+                    stride = v1k
+                else:
+                    def per_a(_, ai):
+                        return _, cross_argmin(im, match0[ai], k, nd)
 
-                _, bidx = lax.scan(per_a, 0, jnp.arange(a))  # [A, V0, V1]
+                    _, bidx = lax.scan(per_a, 0, jnp.arange(a))  # [A,V0,V1]
+                    stride = v1
                 # Pad the angular axis to the lane width on the MAJOR dim
                 # before transposing (a minor-dim pad afterwards measured
                 # ~1 GB/s), then ONE row-gather at the similar-patch
@@ -336,7 +365,12 @@ def build_kernel_step(
                     bidx.reshape(a, -1), ((0, a_pad - a), (0, 0)),
                     constant_values=c_ang,
                 ).T  # [V, a_pad]
-                fp = (sy * v1 + sx).reshape(-1)  # [T*N]
+                # materialize the row table before gathering: fused with the
+                # pad+transpose producer, XLA lowers the take to a
+                # per-element gather (measured 42 ms per ref vs ~1 ms for a
+                # row-gather from a materialized table)
+                bidx_f = lax.optimization_barrier(bidx_f)
+                fp = (sy * stride + sx).reshape(-1)  # [T*N]
                 an = jnp.take(bidx_f, fp, axis=0).reshape(
                     t_count, n_sim, a_pad
                 )

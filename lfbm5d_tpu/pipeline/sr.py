@@ -61,7 +61,7 @@ def run_sr(lr_lf, params: SRParams, on_iteration=None, dtype: str = "float32",
     for i, sigma in enumerate(schedule):
         sigma_c = _sigma_channels(float(sigma), params.color_space, c, dtype)
         _, hr = fn(hr, sigma_c)
-        residual = lr - downsample(hr, params.scale)
+        residual = lr - downsample(hr, params.scale, params.decimation_blur)
         hr = hr + params.bp_gain * upsample(residual, params.scale)
         if on_iteration is not None:
             on_iteration(i, hr)

@@ -62,3 +62,32 @@ def test_sr_cli(lf_dir, tmp_path, capsys):
     assert hr.shape == (2, 2, 40, 48, 3)
     ck = load_lf(str(tmp_path / "ck" / "iter_00"), "SAI_%02d_%02d.png", 2, 2)
     assert ck.shape == hr.shape
+
+
+def test_positional_reference_cli(tmp_path):
+    """SURVEY.md §2.9: the reference-style ~30-positional-arg block runs the
+    same config-2 semantics as the flagged form."""
+    import numpy as np
+
+    from lfbm5d_tpu.cli import main
+    from lfbm5d_tpu.lf import load_lf, save_lf, synthetic_lf
+
+    clean = synthetic_lf(2, 2, 16, 16, channels=3, seed=3)
+    inp = str(tmp_path / "clean")
+    save_lf(clean, inp, "SAI_%02d_%02d.png")
+    out = str(tmp_path / "out")
+    basic = str(tmp_path / "basic")
+    argv = (
+        f"denoise {inp} SAI_%02d_%02d.png 2 2 0 0 20 1 2.7 "
+        "4 3 1 8 4 dct 0 dct haar "
+        "4 3 1 8 4 dct 0 dct haar "
+        "opp " + out + " " + basic + " none"
+    ).split()
+    assert main(argv) == 0
+    lf = load_lf(out, "SAI_%02d_%02d.png", 2, 2)
+    assert lf.shape == clean.shape
+    # the denoised output must beat the sigma-20 noise floor by several dB
+    from lfbm5d_tpu.lf import psnr
+    from lfbm5d_tpu.lf.noise import add_noise_np
+    noisy = add_noise_np(clean, 20.0, seed=0)
+    assert psnr(np.clip(lf, 0, 255), clean) > psnr(np.clip(noisy, 0, 255), clean) + 2.0

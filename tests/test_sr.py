@@ -86,3 +86,50 @@ def test_sr_beats_bicubic():
     p_bi = psnr(np.clip(bicubic, 0, 255), clean)
     p_sr = psnr(np.clip(hr, 0, 255), clean)
     assert p_sr > p_bi, (p_bi, p_sr)
+
+
+def test_sr_x3_and_x4_beat_bicubic():
+    """Config 4 names x2/x4; x3 exercises the non-power-of-two path. Each
+    scale must beat its plain bicubic init (VERDICT round-1 item 8)."""
+    import jax.numpy as jnp
+
+    clean = synthetic_lf(2, 2, 60, 60, channels=1, disp_bg=1, seed=5)
+    for scale in (3, 4):
+        lr = np.asarray(downsample(jnp.asarray(clean), scale))
+        params = SRParams(
+            scale=scale, n_iter=3, sigma_init=8.0, sigma_final=2.0,
+            ht=StepParams(tau_match=2500.0, **TINY),
+            wiener=StepParams(tau_match=400.0, **TINY), chunk=32,
+        )
+        hr = np.asarray(run_sr(lr, params))
+        bic = np.asarray(upsample(jnp.asarray(lr), scale))
+        p_sr = psnr(np.clip(hr, 0, 255), clean)
+        p_bic = psnr(np.clip(bic, 0, 255), clean)
+        assert hr.shape == clean.shape
+        # x4 gains are structurally small on this smooth synthetic LF
+        # (back-projection convergence caps at ~+0.28 dB regardless of
+        # schedule — measured over 3 schedules); x3 gains are larger
+        bar = 0.3 if scale == 3 else 0.2
+        assert p_sr > p_bic + bar, (scale, p_sr, p_bic)
+
+
+def test_sr_decimation_blur_model():
+    """The anti-aliased decimation model (Gaussian pre-blur) runs and stays
+    in the same quality band as the box model; the quantitative comparison
+    on a full-scale LF is recorded in BASELINE.md."""
+    import jax.numpy as jnp
+
+    clean = synthetic_lf(2, 2, 32, 32, channels=1, disp_bg=1, seed=6)
+    lr = np.asarray(downsample(jnp.asarray(clean), 2, blur_sigma=0.8))
+    base = SRParams(
+        scale=2, n_iter=2, sigma_init=6.0, sigma_final=2.0,
+        ht=StepParams(tau_match=2500.0, **TINY),
+        wiener=StepParams(tau_match=400.0, **TINY), chunk=32,
+    )
+    hr_box = np.asarray(run_sr(lr, base))
+    hr_blur = np.asarray(run_sr(lr, base.replace(decimation_blur=0.8)))
+    p_box = psnr(np.clip(hr_box, 0, 255), clean)
+    p_blur = psnr(np.clip(hr_blur, 0, 255), clean)
+    # when the true degradation includes the blur, the matched model must
+    # not be significantly worse
+    assert p_blur > p_box - 0.5, (p_box, p_blur)
