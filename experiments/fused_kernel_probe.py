@@ -49,7 +49,7 @@ def probe(n_tiles=2, planes=2, refs=2, cpt=2, sc=16, n_sim=8, k=8, nd=1,
     kai = np.asarray(tm.kaiser_window(k)).reshape(k, k, 1)
 
     args = [jnp.asarray(x, dt) for x in (bands_n, bands_b)]
-    meta = [jnp.asarray(sy), jnp.asarray(sx), jnp.asarray(lvl),
+    meta = [jnp.asarray(sy * 2048 + sx), jnp.asarray(lvl),
             jnp.asarray(sig), jnp.asarray(doff)]
     mats = [jnp.asarray(x, dt) for x in
             (k2f, k2f.T, f4, f4.T, stf, sti, kai)]

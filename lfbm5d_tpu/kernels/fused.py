@@ -72,16 +72,23 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
 
     def kernel(*refs_args):
         if wiener:
-            (sy_ref, sx_ref, lvl_ref, sig_ref,
+            (syx_ref, lvl_ref, sig_ref,
              band_n_ref, band_b_ref, doff_ref,
              k2f_ref, k2i_ref, k4f_ref, k4i_ref, stf_ref, sti_ref, kai_ref,
              num_ref, den_ref, scr_ref, scrb_ref) = refs_args
         else:
-            (sy_ref, sx_ref, lvl_ref, sig_ref,
+            (syx_ref, lvl_ref, sig_ref,
              band_n_ref, doff_ref,
              k2f_ref, k2i_ref, k4f_ref, k4i_ref, stf_ref, sti_ref, kai_ref,
              num_ref, den_ref, scr_ref, scrb_ref) = refs_args
             band_b_ref = None
+
+        def slot_pos(s):
+            """Unpack the slot's superpatch origin (y*2048 + x in SMEM —
+            halves the scalar-prefetch footprint, which bounds tiles/call)."""
+            v = syx_ref[i_meta, j, s]
+            y = v // 2048
+            return y, v - y * 2048
 
         ip = pl.program_id(0)  # grid dim0 ordered (tile, plane, ref)
         j = pl.program_id(1)
@@ -101,8 +108,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         # multiple of 8" — so the dynamic superpatch load stays f32 and the
         # cast happens right after; the mux then runs at bf16 width).
         def extract_one(band_ref, out_ref, s):
-            y = sy_ref[i_meta, j, s]
-            x = sx_ref[i_meta, j, s]
+            y, x = slot_pos(s)
             sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :].astype(dt)
             d = doff_ref[0, s, :]  # [L]; sentinel rows select nothing -> 0
             dy = (d // nsel)[None, None, :]
@@ -238,8 +244,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         out_dt = _out_dtype(dt)
 
         def agg_body(s, _):
-            y = sy_ref[i_meta, j, s]
-            x = sx_ref[i_meta, j, s]
+            y, x = slot_pos(s)
             d = doff_ref[0, s, :]
             dm = jnp.minimum(d, sent - 1)  # sentinel -> mask-zeroed values
             dy = (dm // nsel)[None, None, :]
@@ -260,7 +265,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
 
 
 def fused_group_step(
-    bands_n, bands_b, sy, sx, lvl, sig, doff,
+    bands_n, bands_b, syx, lvl, sig, doff,
     k2f, k2i, k4f, k4i, stf, sti, kaiser,
     *, bh: int, bw: int, k: int, nd: int, n_sim: int,
     lambda_3d: float, wiener: bool, use_sd: bool, a_live: int,
@@ -271,7 +276,8 @@ def fused_group_step(
     bands_n/bands_b: [n_tiles*planes, bh, bw, L] noisy / basic pixel slabs,
       SAIs on lanes (L=128 compiled; any width in interpret mode). bands_b
       is required iff wiener.
-    sy/sx: [n_tiles*refs, n_chunks, Sc] int32 superpatch origins (SMEM).
+    syx: [n_tiles*refs, n_chunks, Sc] int32 packed superpatch origins
+      (y * 2048 + x, band-relative; SMEM scalar prefetch).
     lvl:   [n_tiles*refs, n_chunks, Sc//n_sim] int32 per-group stack levels.
     sig:   [planes] float per-channel sigma (SMEM).
     doff:  [n_tiles*refs, n_chunks, Sc, L] int32 per-lane disparity indices;
@@ -291,7 +297,7 @@ def fused_group_step(
     k4i = k4i.T
 
     nb, bh_, bw_, l = bands_n.shape
-    n_meta, n_chunks, sc = sy.shape
+    n_meta, n_chunks, sc = syx.shape
     n_tiles = nb // planes
     assert nb == n_tiles * planes and n_meta == n_tiles * refs
     assert sc % n_sim == 0
@@ -342,14 +348,14 @@ def fused_group_step(
     scratch = [pltpu.VMEM((sc * kk, l), dt), pltpu.VMEM((sc * kk, l), dt)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nb2, n_chunks),
         in_specs=in_specs,
         out_specs=[out_spec, out_spec],
         scratch_shapes=scratch,
     )
 
-    args = [sy, sx, lvl, sig, bands_n]
+    args = [syx, lvl, sig, bands_n]
     if wiener:
         args.append(bands_b)
     args += [

@@ -169,6 +169,7 @@ def build_kernel_step(
     span_x = (cols_per_tile - 1) * sp.p + halo
     bh = _round_up(span_y, 8)
     bw = _round_up(span_x, 8)
+    assert bh < 2048 and bw < 2048  # packed y*2048+x slot origins
 
     tile_oy = np.zeros(n_tiles, np.int32)
     tile_ox = np.zeros(n_tiles, np.int32)
@@ -247,8 +248,8 @@ def build_kernel_step(
     # scalar budget, so the fused kernel runs over tile ranges.
     # (measured: a 330 KB prefetch array set compiled to 1.29 MB SMEM use —
     # Mosaic roughly doubles it and needs headroom for grid state, so budget
-    # ~120 KB of payload)
-    smem_row = cpt * (2 * sc + gpc) * 4
+    # ~120 KB of payload; origins are packed y*2048+x to halve the footprint)
+    smem_row = cpt * (sc + gpc) * 4
     tiles_per_call = min(
         n_tiles, max(1, 120_000 // max(r_batch * smem_row, 1))
     )
@@ -434,8 +435,9 @@ def build_kernel_step(
                 # input and extraction yields exact zeros for them. Ranges
                 # are sized by the scalar-prefetch SMEM budget.
                 n_meta = n_tiles * r_batch
-                sy_k = sy_all.reshape(n_meta, cpt, sc)
-                sx_k = sx_all.reshape(n_meta, cpt, sc)
+                syx_k = (sy_all * 2048 + sx_all).reshape(
+                    n_meta, cpt, sc
+                ).astype(jnp.int32)
                 lvl_k = glvl_all.reshape(n_meta, cpt, gpc).astype(jnp.int32)
                 smask_s = smask_all.reshape(n_tiles, r_batch, cpt, sc)
                 doff_k = jnp.where(
@@ -449,7 +451,7 @@ def build_kernel_step(
                     nb_out, db_out = fused_group_step(
                         bands_n[t0 * c : t1 * c],
                         bands_b[t0 * c : t1 * c] if wiener else None,
-                        sy_k[m0:m1], sx_k[m0:m1], lvl_k[m0:m1],
+                        syx_k[m0:m1], lvl_k[m0:m1],
                         sig_k, doff_k[m0:m1],
                         ft.k2f, ft.k2i, ft.k4f, ft.k4i,
                         ft.stack_f, ft.stack_i, kaiser_3d,
