@@ -108,6 +108,12 @@ def main():
     if args.profile:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
+        try:
+            from lfbm5d_tpu.utils.profiling import print_top
+
+            print_top(args.profile, 12, file=sys.stderr)
+        except Exception as e:  # xprof optional
+            print(f"(trace aggregation unavailable: {e})", file=sys.stderr)
 
     mpix = a_h * a_w * h * w / 1e6
     value = mpix / dt
