@@ -62,13 +62,17 @@ def _out_dtype(dt):
 
 def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                  planes: int, refs: int, lambda_3d: float, wiener: bool,
-                 use_sd: bool, a_live: int, dt, sdt):
+                 use_sd: bool, a_live: int, dt, cdt, sdt):
+    """dt: mux/scratch dtype (f32/f64); cdt: transform-chain dtype — bf16
+    runs the matmuls at MXU bf16 rate with f32 accumulation while the
+    extract/aggregate muxes stay in dt (full-bf16 muxing measured 1.75x
+    SLOWER end-to-end: cast-produced bf16 stays unpacked in vregs)."""
     kk = k * k
     sk = k + 2 * nd
     nsel = 2 * nd + 1
     sent = nsel * nsel  # sentinel disparity index for masked slots
     gpc = sc // n_sim
-    acc_dt, wdt = _shrink_dtypes(jnp.dtype(dt))
+    acc_dt, wdt = _shrink_dtypes(jnp.dtype(cdt))
 
     def kernel(*refs_args):
         if wiener:
@@ -131,7 +135,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
 
         # ---- per-group stack matrices from SMEM lvl scalars ----
         def sel(tab_ref, lv):
-            m = jnp.zeros((n_sim, n_sim), dt)
+            m = jnp.zeros((n_sim, n_sim), cdt)
             for d_ in range(depth):
                 m = jnp.where(lv == d_, tab_ref[d_], m)
             return m
@@ -145,7 +149,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         def dg(a, b, dims):
             r = jax.lax.dot_general(a, b, dims,
                                     preferred_element_type=acc_dt)
-            return r.astype(dt)
+            return r.astype(cdt)
 
         def fwd(g4):
             spec = dg(k2f_ref[...], g4, (((1,), (2,)), ((), ())))
@@ -166,16 +170,16 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 x_l, ones_l, (((3,), (0,)), ((), ())),
                 preferred_element_type=wdt)
 
-        g_n = scr_ref[...].reshape(gpc, n_sim, kk, l)
+        g_n = scr_ref[...].reshape(gpc, n_sim, kk, l).astype(cdt)
         sig = sig_ref[p_idx].astype(wdt)
 
         if wiener:
-            g_b = scrb_ref[...].reshape(gpc, n_sim, kk, l)
+            g_b = scrb_ref[...].reshape(gpc, n_sim, kk, l).astype(cdt)
             spec_n = fwd(g_n).astype(wdt)
             spec_b = fwd(g_b).astype(wdt)
             b2 = spec_b * spec_b
             wien = b2 / (b2 + sig * sig)
-            filt = (spec_n * wien).astype(dt)
+            filt = (spec_n * wien).astype(cdt)
             ws_l = jnp.sum(wien * wien, axis=(1, 2), keepdims=True)
             wsum = smear(ws_l)  # [GPC, 1, 1, L]
             wgt = jnp.where(
@@ -187,7 +191,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             thr = (lambda_3d * sig).astype(wdt)
             spec = fwd(g_n).astype(wdt)
             keep = (jnp.abs(spec) >= thr).astype(wdt)
-            filt = (spec * keep).astype(dt)
+            filt = (spec * keep).astype(cdt)
             nnz = smear(jnp.sum(keep, axis=(1, 2), keepdims=True))
             wgt = jnp.where(
                 nnz > 0,
@@ -195,7 +199,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 jnp.asarray(1.0, wdt),
             )
 
-        est = inv(filt)
+        est = inv(filt).astype(dt)  # back to the mux dtype for aggregation
 
         if use_sd:
             # SD aggregation weights (SURVEY.md §2.9 useSD): per-group sample
@@ -302,14 +306,15 @@ def fused_group_step(
     assert nb == n_tiles * planes and n_meta == n_tiles * refs
     assert sc % n_sim == 0
     depth = stf.shape[0]
-    dt = k2f.dtype  # group dtype; bands may stay f32 (bf16 mode)
+    dt = bands_n.dtype  # mux/scratch dtype (f32, or f64 in interpret tests)
+    cdt = k2f.dtype  # transform-chain dtype (bf16 in 'pallas_bf16' mode)
     sdt = sig.dtype
     nb2 = n_tiles * planes * refs
     kk = k * k
 
     kernel = _make_kernel(
         k, nd, sc, l, n_sim, depth, planes, refs, lambda_3d, wiener, use_sd,
-        a_live, dt, sdt,
+        a_live, dt, cdt, sdt,
     )
 
     def _band_idx(i, j, *_):

@@ -226,10 +226,14 @@ def build_kernel_step(
         (tile_groups[:, None, :] + (roff * tnp1)[None, :, None])
         .astype(np.int32).reshape(-1)
     )  # [nT*R*tt_pad]
+    # group_dtype (bf16) applies to the TRANSFORM CHAIN only: the fused
+    # kernel runs its matmuls in the matrices' dtype with f32 accumulation,
+    # while bands / mux / kaiser weighting / accumulators stay in dt
+    # (full-bf16 muxing measured 1.75x slower; see docs/DESIGN_NOTES.md).
     gdt = jnp.dtype(group_dtype) if group_dtype else dt
     kaiser_np = np.asarray(tm.kaiser_window(k))  # host copy for the fused kernel
     kaiser_flat = jnp.asarray(kaiser_np.reshape(-1), dtype=dt)  # [64]
-    kaiser_3d = jnp.asarray(kaiser_np.reshape(k, k, 1), dtype=gdt)
+    kaiser_3d = jnp.asarray(kaiser_np.reshape(k, k, 1), dtype=dt)
     ft = FlatTransforms.build(sp, a_h, a_w, a_pad, dtype=gdt)
     sdt = jnp.float64 if dt == jnp.float64 else jnp.float32
     sent = (2 * nd + 1) ** 2  # masked-slot sentinel disparity index
