@@ -171,6 +171,33 @@ def build_kernel_step(
     bw = _round_up(span_x, 8)
     assert bh < 2048 and bw < 2048  # packed y*2048+x slot origins
 
+    # --- reference-SAI batching: R refs share one scan pass; their group
+    # slots ride the kernels' `refs` grid axis (band blocks revisited across
+    # refs, cross-ref band accumulation in-kernel), dividing the per-step
+    # dispatch count by R. The ref axis is padded to n_blocks*R with masked
+    # dummy refs (zero weights).
+    r_batch, _best = 1, None
+    for _rc in range(1, min(8, a) + 1):
+        _cost = _cdiv(a, _rc) * (_rc + 2.0)  # R BM units + dispatch weight 2
+        if _best is None or _cost < _best:
+            r_batch, _best = _rc, _cost
+    n_blocks = _cdiv(a, r_batch)
+
+    # Fused-call tile batching: packed origins + lvl ride scalar prefetch,
+    # and one (tile, ref) row costs cpt*(sc + gpc)*4 bytes of SMEM against a
+    # ~120 KB payload budget (measured: a 330 KB prefetch set compiled to
+    # 1.29 MB SMEM use — Mosaic roughly doubles it and needs grid-state
+    # headroom). The fused path runs a lax.scan over tile RANGES of this
+    # size (one traced kernel call total), so the tile count is padded to a
+    # range multiple with fully-masked dummy tiles.
+    smem_row = cpt * (sc + gpc) * 4
+    tiles_per_call = min(
+        n_tiles, max(1, 120_000 // max(r_batch * smem_row, 1))
+    )
+    if fused:
+        n_tiles = _round_up(n_tiles, tiles_per_call)
+    n_ranges = n_tiles // tiles_per_call if fused else 0
+
     tile_oy = np.zeros(n_tiles, np.int32)
     tile_ox = np.zeros(n_tiles, np.int32)
     tile_groups = np.full((n_tiles, tt_pad), t_count, np.int32)  # pad -> T
@@ -201,18 +228,6 @@ def build_kernel_step(
     slot_flat = (
         np.repeat(tile_groups, n_sim, axis=1) * n_sim + slot_n_np[None, :]
     )  # [nT, tt_pad * n_sim]
-
-    # --- reference-SAI batching: R refs share one scan pass; their group
-    # slots ride the kernels' `refs` grid axis (band blocks revisited across
-    # refs, cross-ref band accumulation in-kernel), dividing the per-step
-    # dispatch count — the measured #1 overhead — by R. The ref axis is
-    # padded to n_blocks*R with masked dummy refs (zero weights).
-    r_batch, _best = 1, None
-    for _rc in range(1, min(8, a) + 1):
-        _cost = _cdiv(a, _rc) * (_rc + 2.0)  # R BM units + dispatch weight 2
-        if _best is None or _cost < _best:
-            r_batch, _best = _rc, _cost
-    n_blocks = _cdiv(a, r_batch)
 
     # per-ref gather tables: entry (ti, r, slot) indexes ref r's padded
     # metadata tables (T+1 rows each), flattened across the ref-batch axis
@@ -246,17 +261,6 @@ def build_kernel_step(
     use_bm_kernel = (not interpret) and (k & (k - 1)) == 0
     wq_bm = _round_up(wp + 2 * nd, _LANES)
     v1k = wq_bm - 2 * nd - k + 1  # kernel BM map width (>= v1)
-    # Fused-call tile batching: sy/sx/lvl ride scalar prefetch, and one
-    # (tile, ref) row costs cpt*(2*sc + gpc)*4 bytes of SMEM — the full
-    # reference grid at 9x9 defaults would need ~30 MB against the ~1 MB
-    # scalar budget, so the fused kernel runs over tile ranges.
-    # (measured: a 330 KB prefetch array set compiled to 1.29 MB SMEM use —
-    # Mosaic roughly doubles it and needs headroom for grid state, so budget
-    # ~120 KB of payload; origins are packed y*2048+x to halve the footprint)
-    smem_row = cpt * (sc + gpc) * 4
-    tiles_per_call = min(
-        n_tiles, max(1, 120_000 // max(r_batch * smem_row, 1))
-    )
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
@@ -437,8 +441,12 @@ def build_kernel_step(
                 # (kernels/fused.py). Masked slots are encoded by the
                 # sentinel disparity index, so the kernel needs no mask
                 # input and extraction yields exact zeros for them. Ranges
-                # are sized by the scalar-prefetch SMEM budget.
+                # are sized by the scalar-prefetch SMEM budget and walked by
+                # a lax.scan, so the kernel is TRACED ONCE regardless of the
+                # tile count (at 9x9 defaults an unrolled loop would put
+                # >100 pallas calls in the graph and blow up compile time).
                 n_meta = n_tiles * r_batch
+                tpc = tiles_per_call
                 syx_k = (sy_all * 2048 + sx_all).reshape(
                     n_meta, cpt, sc
                 ).astype(jnp.int32)
@@ -448,15 +456,22 @@ def build_kernel_step(
                     smask_s[..., None], doff_all, sent
                 ).reshape(n_meta, cpt, sc, a_pad).astype(jnp.int32)
                 sig_k = sigma_c.astype(sdt)
-                for t0 in range(0, n_tiles, tiles_per_call):
-                    t1 = min(n_tiles, t0 + tiles_per_call)
-                    tb = t1 - t0
-                    m0, m1 = t0 * r_batch, t1 * r_batch
+
+                def range_body(nd_c, rid):
+                    num, den = nd_c
+                    t0 = rid * tpc
+                    m0 = t0 * r_batch
+
+                    def dsl(x, start, size):
+                        return lax.dynamic_slice_in_dim(x, start, size, 0)
+
                     nb_out, db_out = fused_group_step(
-                        bands_n[t0 * c : t1 * c],
-                        bands_b[t0 * c : t1 * c] if wiener else None,
-                        syx_k[m0:m1], lvl_k[m0:m1],
-                        sig_k, doff_k[m0:m1],
+                        dsl(bands_n, t0 * c, tpc * c),
+                        dsl(bands_b, t0 * c, tpc * c) if wiener else None,
+                        dsl(syx_k, m0, tpc * r_batch),
+                        dsl(lvl_k, m0, tpc * r_batch),
+                        sig_k,
+                        dsl(doff_k, m0, tpc * r_batch),
                         ft.k2f, ft.k2i, ft.k4f, ft.k4i,
                         ft.stack_f, ft.stack_i, kaiser_3d,
                         bh=bh, bw=bw, k=k, nd=nd, n_sim=n_sim,
@@ -464,16 +479,32 @@ def build_kernel_step(
                         use_sd=sp.use_sd, a_live=a, planes=c,
                         refs=r_batch, interpret=interpret,
                     )
-                    nb_out = nb_out.reshape(tb, c, bh, bw, a_pad)
-                    db_out = db_out.reshape(tb, c, bh, bw, a_pad)
-                    for i, ti in enumerate(range(t0, t1)):
-                        oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
-                        num = num.at[:, oy : oy + bh, ox : ox + bw, :].add(
-                            nb_out[i]
+                    nb_out = nb_out.reshape(tpc, c, bh, bw, a_pad)
+                    db_out = db_out.reshape(tpc, c, bh, bw, a_pad)
+
+                    def add_tile(i, nd_):
+                        num_, den_ = nd_
+                        zero = jnp.int32(0)
+                        oy = tile_oy_c[t0 + i].astype(jnp.int32)
+                        ox = tile_ox_c[t0 + i].astype(jnp.int32)
+                        pos = (zero, oy, ox, zero)
+                        sz = (c, bh, bw, a_pad)
+                        num_ = lax.dynamic_update_slice(
+                            num_, lax.dynamic_slice(num_, pos, sz) + nb_out[i],
+                            pos,
                         )
-                        den = den.at[:, oy : oy + bh, ox : ox + bw, :].add(
-                            db_out[i]
+                        den_ = lax.dynamic_update_slice(
+                            den_, lax.dynamic_slice(den_, pos, sz) + db_out[i],
+                            pos,
                         )
+                        return num_, den_
+
+                    num, den = lax.fori_loop(0, tpc, add_tile, (num, den))
+                    return (num, den), None
+
+                (num, den), _ = lax.scan(
+                    range_body, (num, den), jnp.arange(n_ranges)
+                )
                 return (num, den), None
 
             # --- tile batches: one extract / transform / accumulate call per
