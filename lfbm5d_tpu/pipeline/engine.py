@@ -302,18 +302,10 @@ def build_kernel_step(
                 match0, ((0, 0), (nd, nd), (nd, wq_bm - wp - nd))
             )
 
-        # bands are ref-SAI-invariant: build every batch's kernel input once
-        # per step, outside the scan (tile-major, plane-minor ordering)
-        if fused:
-            bn_list, bb_list = [], []
-            for ti in range(n_tiles):
-                oy, ox = int(tile_oy[ti]), int(tile_ox[ti])
-                bn_list.append(tab[:, oy : oy + bh, ox : ox + bw, :])
-                if wiener:
-                    bb_list.append(tab_b[:, oy : oy + bh, ox : ox + bw, :])
-            bands_n = jnp.concatenate(bn_list, axis=0)
-            bands_b = jnp.concatenate(bb_list, axis=0) if wiener else None
-        else:
+        # bands are ref-SAI-invariant. The FUSED path slices them per tile
+        # range inside its scan (an all-tile materialization OOMs HBM at
+        # 9x9 defaults); the two-kernel path prebuilds per-batch inputs.
+        if not fused:
             bands_by_batch = []
             for b0 in range(0, n_tiles, tiles_per_batch):
                 b1 = min(n_tiles, b0 + tiles_per_batch)
@@ -417,9 +409,13 @@ def build_kernel_step(
             qx_all = jnp.take(sim_x_p.reshape(-1), slot_flat_c).reshape(
                 n_tiles, r_batch, cpt, sc
             )
-            doff_all = jnp.take(
-                ang_p.reshape(-1, a_pad), slot_flat_c, axis=0
-            ).reshape(n_tiles, r_batch, cpt, sc, a_pad)
+            if not fused:
+                # fused path gathers doff per tile RANGE inside its scan:
+                # the all-tile table is [nT, R, cpt, sc, L] — 3.1 GB at 9x9
+                # defaults, a main contributor to the HBM OOM device fault
+                doff_all = jnp.take(
+                    ang_p.reshape(-1, a_pad), slot_flat_c, axis=0
+                ).reshape(n_tiles, r_batch, cpt, sc, a_pad)
             glvl_all = jnp.take(lvl_p.reshape(-1), tile_groups_ec).reshape(
                 n_tiles, r_batch, tt_pad
             )
@@ -452,10 +448,13 @@ def build_kernel_step(
                 ).astype(jnp.int32)
                 lvl_k = glvl_all.reshape(n_meta, cpt, gpc).astype(jnp.int32)
                 smask_s = smask_all.reshape(n_tiles, r_batch, cpt, sc)
-                doff_k = jnp.where(
-                    smask_s[..., None], doff_all, sent
-                ).reshape(n_meta, cpt, sc, a_pad).astype(jnp.int32)
                 sig_k = sigma_c.astype(sdt)
+                # per-range gather sources (materialized so the in-scan
+                # takes hit the fast row-gather path)
+                ang_flat = lax.optimization_barrier(
+                    ang_p.reshape(-1, a_pad)
+                )
+                sfc_2d = slot_flat_c.reshape(n_tiles, r_batch * cpt * sc)
 
                 def range_body(nd_c, rid):
                     num, den = nd_c
@@ -465,13 +464,38 @@ def build_kernel_step(
                     def dsl(x, start, size):
                         return lax.dynamic_slice_in_dim(x, start, size, 0)
 
+                    # bands and the per-slot disparity table are built PER
+                    # RANGE (an all-tile materialization is 7.6 GB of bands
+                    # + 3.1 GB of doff at 9x9 defaults -> HBM OOM; traffic
+                    # is unchanged since bands were re-read per block)
+                    def get_bands(tab_):
+                        zero = jnp.int32(0)
+                        slabs = []
+                        for i in range(tpc):
+                            oy = tile_oy_c[t0 + i].astype(jnp.int32)
+                            ox = tile_ox_c[t0 + i].astype(jnp.int32)
+                            slabs.append(lax.dynamic_slice(
+                                tab_, (zero, oy, ox, zero),
+                                (c, bh, bw, a_pad),
+                            ))
+                        return jnp.concatenate(slabs, axis=0)
+
+                    sfc = dsl(sfc_2d, t0, tpc).reshape(-1)
+                    doff_rng = jnp.take(ang_flat, sfc, axis=0).reshape(
+                        tpc, r_batch, cpt, sc, a_pad
+                    )
+                    smask_rng = dsl(smask_s, t0, tpc)
+                    doff_rng = jnp.where(
+                        smask_rng[..., None], doff_rng, sent
+                    ).reshape(tpc * r_batch, cpt, sc, a_pad).astype(jnp.int32)
+
                     nb_out, db_out = fused_group_step(
-                        dsl(bands_n, t0 * c, tpc * c),
-                        dsl(bands_b, t0 * c, tpc * c) if wiener else None,
+                        get_bands(tab),
+                        get_bands(tab_b) if wiener else None,
                         dsl(syx_k, m0, tpc * r_batch),
                         dsl(lvl_k, m0, tpc * r_batch),
                         sig_k,
-                        dsl(doff_k, m0, tpc * r_batch),
+                        doff_rng,
                         ft.k2f, ft.k2i, ft.k4f, ft.k4i,
                         ft.stack_f, ft.stack_i, kaiser_3d,
                         bh=bh, bw=bw, k=k, nd=nd, n_sim=n_sim,
