@@ -251,20 +251,24 @@ def cmd_sr(ns) -> int:
 #       TAU4D_HARD TAU5D_HARD
 #       N_WIEN N_SEARCH_WIEN NDISP_WIEN K_WIEN P_WIEN TAU2D_WIEN USESD_WIEN
 #       TAU4D_WIEN TAU5D_WIEN
-#       COLOR_SPACE OUTPUT_DIR BASIC_DIR|none DIFF_DIR|none
+#       COLOR_SPACE OUTPUT_DIR BASIC_DIR|none DIFF_DIR|none [NB_THREADS]
 #
 # ADD_NOISE=1 treats the input as clean, synthesizes AWGN of std SIGMA and
 # reports PSNR (the reference's experiment mode, SURVEY.md §2.9 "Noise").
+# NB_THREADS (the reference's OpenMP knob) is accepted for contract parity
+# and ignored: XLA owns intra-chip parallelism (SURVEY.md §2 component 9).
 _POSITIONAL_DENOISE = 31
 
 
 def _positional_to_flags(rest: list[str]) -> list[str]:
     """Translate the reference-style positional block to the flagged form."""
+    if len(rest) == _POSITIONAL_DENOISE + 1:
+        rest = rest[:-1]  # trailing NB_THREADS: parsed, advisory only
     if len(rest) != _POSITIONAL_DENOISE:
         raise SystemExit(
-            f"error: positional denoise form takes exactly "
-            f"{_POSITIONAL_DENOISE} arguments, got {len(rest)} "
-            "(see the module docstring for the order)"
+            f"error: positional denoise form takes "
+            f"{_POSITIONAL_DENOISE} (+ optional NB_THREADS) arguments, "
+            f"got {len(rest)} (see the module docstring for the order)"
         )
     (inp, pattern, aw, ah, soff, toff, sigma, addn, lam,
      nh, nsh, ndh, kh, ph, t2h, sdh, t4h, t5h,
