@@ -321,6 +321,90 @@ def _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, engine):
     return jax.jit(build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine))
 
 
+# Ref-slot count above which a step runs as MULTIPLE device launches (one
+# ref-block each, device-resident accumulators). A single program covering a
+# full-size default-parameter step (~38M slots/step) faults the device
+# (UNAVAILABLE after minutes of execution); bounded launches also bound peak
+# transients. The fast-preset 9x9 (~4.9M slots/step) stays single-program.
+_LAUNCH_SLOT_LIMIT = 16_000_000
+
+
+def _step_slots(sp: StepParams, a_h, a_w, h, w) -> int:
+    ys = ind_initialize(h, sp.k, sp.p)
+    xs = ind_initialize(w, sp.k, sp.p)
+    return len(ys) * len(xs) * a_h * a_w * sp.n_sim
+
+
+@lru_cache(maxsize=None)
+def _launched_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
+                       group_dtype):
+    from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+    raw = build_kernel_step(
+        sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
+        interpret=jax.default_backend() != "tpu",
+        group_dtype=group_dtype, launch_blocks=1,
+    )
+    if wiener:
+        fn = jax.jit(raw)
+    else:
+        fn = jax.jit(
+            lambda np_, mp, sig, num, den, b0: raw(
+                np_, mp, sig, None, num, den, b0
+            )
+        )
+    return raw, fn
+
+
+def _run_step_launched(sp, lambda_3d, wiener, xp, mp, sigma_c, bp,
+                       a_h, a_w, h, w, c, dtype, group_dtype):
+    raw, fn = _launched_step_jit(
+        sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype, group_dtype
+    )
+    num = jnp.zeros(raw.acc_shape, raw.acc_dtype)
+    den = jnp.zeros(raw.acc_shape, raw.acc_dtype)
+    for b0 in range(raw.n_blocks):
+        b = jnp.int32(b0)
+        if wiener:
+            num, den = fn(xp, mp, sigma_c, bp, num, den, b)
+        else:
+            num, den = fn(xp, mp, sigma_c, num, den, b)
+    return raw.finalize(num, den)
+
+
+def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype):
+    """Two-step pipeline as many bounded device launches (big configs)."""
+    dt = jnp.dtype(dtype)
+    a_h, a_w, h, w, c = lf.shape
+    x = jnp.asarray(lf, dt)
+    use_color = c == 3 and params.color_space != "rgb"
+    if use_color:
+        from lfbm5d_tpu.lf.color import color_matrix
+
+        m = np.asarray(color_matrix(params.color_space))
+        mi = jnp.asarray(np.linalg.inv(m), dt)
+        x = x @ jnp.asarray(m, dt).T
+    sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+
+    xp = _flat_pad(x, params.ht.pad)
+    num, den = _run_step_launched(
+        params.ht, params.lambda_3d, False, xp, xp, sigma_c, None,
+        a_h, a_w, h, w, c, dtype, group_dtype,
+    )
+    basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c)
+    xp2 = _flat_pad(x, params.wiener.pad)
+    bp = _flat_pad(basic, params.wiener.pad)
+    num, den = _run_step_launched(
+        params.wiener, 0.0, True, xp2, bp, sigma_c, bp,
+        a_h, a_w, h, w, c, dtype, group_dtype,
+    )
+    final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c)
+    if use_color:
+        basic = basic @ mi.T
+        final = final @ mi.T
+    return basic, final
+
+
 def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
              engine: str = "auto"):
     """Full two-step pipeline. noisy_lf: [aH,aW,H,W,C] RGB/gray in [0,255].
@@ -335,8 +419,20 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
     else:
         lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
     a_h, a_w, h, w, c = lf.shape
-    fn = _build_denoise_jit(
-        params, a_h, a_w, h, w, c, dtype, _resolve_engine(engine, a_h * a_w)
-    )
+    eng = _resolve_engine(engine, a_h * a_w)
+    if (
+        eng.startswith("pallas")
+        and jax.default_backend() == "tpu"
+        and a_h * a_w <= 128
+        and max(
+            _step_slots(params.ht, a_h, a_w, h, w),
+            _step_slots(params.wiener, a_h, a_w, h, w),
+        ) > _LAUNCH_SLOT_LIMIT
+    ):
+        return _run_bm5d_launched(
+            lf, params, dtype,
+            "bfloat16" if eng == "pallas_bf16" else None,
+        )
+    fn = _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, eng)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     return fn(lf, sigma_c)

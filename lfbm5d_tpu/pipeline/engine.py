@@ -78,11 +78,23 @@ def build_kernel_step(
     sc: int = 64,
     fused: bool | None = None,
     group_dtype: str | None = None,
+    launch_blocks: int | None = None,
 ):
     """Returns raw fn(noisy_p, match_p, sigma_c, basic_p) -> (num, den).
 
     num/den are returned in the SAI-flattened layout [A, Hp, Wp, C] (matching
     pipeline.denoise._build_step) so _finalize applies unchanged.
+
+    launch_blocks=N instead returns a PARTIAL-LAUNCH fn
+      fn(noisy_p, match_p, sigma_c, basic_p, num, den, block0) -> (num, den)
+    that processes ref-blocks [block0, block0+N) and accumulates into the
+    INTERNAL accumulator layout [C, Hp2, Wp2, A_pad] (see
+    `accumulator_shape`); block0 is a traced scalar so one compilation
+    serves every launch, and blocks beyond the real count behave as fully
+    masked dummies. Use `finalize_accumulators` to convert the final
+    accumulators to the [A, Hp, Wp, C] contract. This bounds single device
+    launches in time and transient memory (full-size default-parameter runs
+    fault the device in one program).
 
     fused=None resolves to the fully fused single-kernel group stage
     (kernels/fused.py) whenever the angular grid fits one 128-lane bank;
@@ -289,7 +301,7 @@ def build_kernel_step(
             t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, a_pad - a))
         )
 
-    def step(noisy_p, match_p, sigma_c, basic_p):
+    def step_impl(noisy_p, match_p, sigma_c, basic_p, num0, den0, idx_blocks):
         match0 = match_p[..., 0]
         tab = to_table(noisy_p)
         tab_b = to_table(basic_p) if wiener else None
@@ -322,9 +334,6 @@ def build_kernel_step(
                                 tab_b[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
                             )
                 bands_by_batch.append(jnp.concatenate(band_list, axis=0))
-
-        num0 = jnp.zeros((c, hp2, wp2, a_pad), dt)
-        den0 = jnp.zeros((c, hp2, wp2, a_pad), dt)
 
         v1 = wp - k + 1
 
@@ -670,13 +679,42 @@ def build_kernel_step(
                     )
             return (num, den), None
 
-        idx_blocks = jnp.arange(
-            n_blocks * r_batch, dtype=jnp.int32
-        ).reshape(n_blocks, r_batch)
         (num, den), _ = lax.scan(ref_pass, (num0, den0), idx_blocks)
-        # back to the [A, Hp, Wp, C] contract
+        return num, den
+
+    def _finalize_acc(num, den):
+        """Internal [C, Hp2, Wp2, A_pad] -> the [A, Hp, Wp, C] contract."""
         num = jnp.transpose(num[:, :hp, :wp, :a], (3, 1, 2, 0))
         den = jnp.transpose(den[:, :hp, :wp, :a], (3, 1, 2, 0))
         return num, den
 
+    acc_shape = (c, hp2, wp2, a_pad)
+
+    if launch_blocks is None:
+        def step(noisy_p, match_p, sigma_c, basic_p):
+            z = jnp.zeros(acc_shape, dt)
+            idx = jnp.arange(
+                n_blocks * r_batch, dtype=jnp.int32
+            ).reshape(n_blocks, r_batch)
+            num, den = step_impl(
+                noisy_p, match_p, sigma_c, basic_p, z, z, idx
+            )
+            return _finalize_acc(num, den)
+    else:
+        def step(noisy_p, match_p, sigma_c, basic_p, num, den, block0):
+            """Process ref-blocks [block0, block0+launch_blocks); block0 is
+            traced, so one compilation serves every launch. Refs beyond the
+            real count are masked dummies (idx >= A)."""
+            idx = (
+                block0 * r_batch
+                + jnp.arange(launch_blocks * r_batch, dtype=jnp.int32)
+            ).reshape(launch_blocks, r_batch)
+            return step_impl(
+                noisy_p, match_p, sigma_c, basic_p, num, den, idx
+            )
+
+    step.acc_shape = acc_shape
+    step.acc_dtype = dt
+    step.finalize = _finalize_acc
+    step.n_blocks = n_blocks
     return step

@@ -155,3 +155,22 @@ def test_bf16_group_path_psnr():
     ps_f32 = psnr(np.clip(np.asarray(f32), 0, 255), clean)
     ps_bf16 = psnr(np.clip(np.asarray(bf16), 0, 255), clean)
     assert abs(ps_f32 - ps_bf16) < 0.1, (ps_f32, ps_bf16)
+
+
+def test_launched_execution_matches_single_program():
+    """Multi-launch execution (one ref-block per device launch,
+    device-resident accumulators) must equal the single-program path —
+    the mode big configs use because one program covering a full-size
+    default-parameter run faults the device."""
+    from lfbm5d_tpu.pipeline.denoise import _run_bm5d_launched
+
+    clean = synthetic_lf(3, 3, 32, 40, channels=3, seed=12)
+    noisy = add_noise_np(clean, 25.0, seed=13)
+    p = params(sigma=25.0)
+    import jax.numpy as jnp
+
+    b1, f1 = run_bm5d(noisy, p, engine="pallas")
+    b2, f2 = _run_bm5d_launched(jnp.asarray(noisy, jnp.float32), p,
+                                "float32", None)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
