@@ -62,7 +62,7 @@ def _out_dtype(dt):
 
 def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                  planes: int, refs: int, lambda_3d: float, wiener: bool,
-                 use_sd: bool, a_live: int, dt, cdt, sdt):
+                 use_sd: bool, a_live: int, dt, cdt):
     """dt: mux/scratch dtype (f32/f64); cdt: transform-chain dtype — bf16
     runs the matmuls at MXU bf16 rate with f32 accumulation while the
     extract/aggregate muxes stay in dt (full-bf16 muxing measured 1.75x
@@ -308,13 +308,12 @@ def fused_group_step(
     depth = stf.shape[0]
     dt = bands_n.dtype  # mux/scratch dtype (f32, or f64 in interpret tests)
     cdt = k2f.dtype  # transform-chain dtype (bf16 in 'pallas_bf16' mode)
-    sdt = sig.dtype
     nb2 = n_tiles * planes * refs
     kk = k * k
 
     kernel = _make_kernel(
         k, nd, sc, l, n_sim, depth, planes, refs, lambda_3d, wiener, use_sd,
-        a_live, dt, cdt, sdt,
+        a_live, dt, cdt,
     )
 
     def _band_idx(i, j, *_):
