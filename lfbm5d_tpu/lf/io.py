@@ -104,11 +104,35 @@ def save_lf(
     t_offset: int = 0,
     bit_depth: int = 8,
 ) -> None:
-    """Write an [aH, aW, H, W, C] float LF (in [0,255]) as per-SAI images."""
+    """Write an [aH, aW, H, W, C] float LF (in [0,255]) as per-SAI images.
+
+    Uses the thread-pooled native libpng encoder when available (writing
+    81+ SAIs serially through PIL starves the streaming driver the same way
+    serial decode did); falls back to PIL/OpenCV. The native writer rounds
+    half-up (the reference io_png convention); the fallback uses np.round
+    — they differ only on exact .5 sample values.
+    """
     from PIL import Image
 
     os.makedirs(directory, exist_ok=True)
     a_h, a_w = lf.shape[:2]
+    if lf.ndim == 5 and lf.shape[-1] in (1, 3) and bit_depth in (8, 16):
+        try:
+            from lfbm5d_tpu import native
+
+            if native.available():
+                paths = [
+                    os.path.join(
+                        directory,
+                        _pattern_name(pattern, s + s_offset, t + t_offset),
+                    )
+                    for s in range(a_h)
+                    for t in range(a_w)
+                ]
+                native.save_lf_native(np.asarray(lf), paths, bit_depth)
+                return
+        except Exception:
+            pass  # fall back to PIL/OpenCV below
     for s in range(a_h):
         for t in range(a_w):
             arr = np.asarray(lf[s, t], dtype=np.float64)

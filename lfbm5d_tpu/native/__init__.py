@@ -39,6 +39,13 @@ def _ensure_built() -> bool:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "lf_save_png"):
+        lib.lf_save_png.restype = ctypes.c_int
+        lib.lf_save_png.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ]
     _lib = lib
     return True
 
@@ -71,3 +78,29 @@ def load_lf_native(paths, a_h: int, a_w: int, h: int, w: int,
         bad = paths[err_i.value] if 0 <= err_i.value < n else "?"
         raise IOError(f"native PNG decode failed (code {rc}) for {bad!r}")
     return out.reshape(a_h, a_w, h, w, c)
+
+
+def save_lf_native(lf, paths, bit_depth: int = 8) -> None:
+    """Encode an [aH, aW, H, W, C] float LF to PNG files, thread-pooled.
+
+    Write-side twin of load_lf_native; rounds half-up like the reference's
+    io_png writer. bit_depth 8 or 16 (16-bit scaled by 257).
+    """
+    if not _ensure_built():
+        raise RuntimeError("native io_accel unavailable (build failed)")
+    if not hasattr(_lib, "lf_save_png"):
+        raise RuntimeError("libio_accel.so lacks lf_save_png (rebuild)")
+    a_h, a_w, h, w, c = lf.shape
+    n = a_h * a_w
+    if len(paths) != n:
+        raise ValueError(f"expected {n} paths, got {len(paths)}")
+    data = np.ascontiguousarray(lf, dtype=np.float32).reshape(n, h, w, c)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    err_i = ctypes.c_int(-1)
+    rc = _lib.lf_save_png(
+        arr, n, data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, c, bit_depth, ctypes.byref(err_i),
+    )
+    if rc:
+        bad = paths[err_i.value] if 0 <= err_i.value < n else "?"
+        raise IOError(f"native PNG encode failed (code {rc}) for {bad!r}")

@@ -96,6 +96,58 @@ int decode_one(const char* path, float* out, int h, int w, int c) {
   return 0;
 }
 
+// Encode one SAI plane (floats in [0,255]) to a PNG file. bit_depth 8 or
+// 16 (16-bit samples scaled by 257, the inverse of the loader's 1/257).
+int encode_one(const char* path, const float* in, int h, int w, int c,
+               int bit_depth) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                              nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return 2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    return 3;
+  }
+  png_init_io(png, fp);
+  const int color_type =
+      c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB;
+  png_set_IHDR(png, info, w, h, bit_depth, color_type,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  if (bit_depth == 16) png_set_swap(png);  // host order -> big-endian
+
+  std::vector<unsigned char> row((size_t)w * c * (bit_depth / 8));
+  for (int y = 0; y < h; ++y) {
+    const float* src = in + (size_t)y * w * c;
+    if (bit_depth == 16) {
+      unsigned short* dst = (unsigned short*)row.data();
+      for (int i = 0; i < w * c; ++i) {
+        float v = src[i] * 257.0f + 0.5f;
+        dst[i] = (unsigned short)(v < 0.f ? 0.f : (v > 65535.f ? 65535.f : v));
+      }
+    } else {
+      unsigned char* dst = row.data();
+      for (int i = 0; i < w * c; ++i) {
+        float v = src[i] + 0.5f;
+        dst[i] = (unsigned char)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+      }
+    }
+    png_write_row(png, row.data());
+  }
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -115,6 +167,38 @@ int lf_load_png(const char** paths, int n, float* out, int h, int w, int c,
       const int i = next.fetch_add(1);
       if (i >= n || err.load()) return;
       const int rc = decode_one(paths[i], out + plane * i, h, w, c);
+      if (rc) {
+        err.store(rc);
+        err_i.store(i);
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  if (err_index) *err_index = err_i.load();
+  return err.load();
+}
+
+// Thread-pooled encoder: the write-side twin of lf_load_png (the
+// reference's io_png.c exposes both directions, SURVEY.md §2 #6).
+int lf_save_png(const char** paths, int n, const float* in, int h, int w,
+                int c, int bit_depth, int* err_index) {
+  if (bit_depth != 8 && bit_depth != 16) return 5;
+  const size_t plane = (size_t)h * w * c;
+  const unsigned n_threads =
+      std::min<unsigned>(std::max(1u, std::thread::hardware_concurrency()),
+                         (unsigned)n);
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  std::atomic<int> err_i(-1);
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n || err.load()) return;
+      const int rc = encode_one(paths[i], in + plane * i, h, w, c, bit_depth);
       if (rc) {
         err.store(rc);
         err_i.store(i);

@@ -30,3 +30,24 @@ def test_native_missing_file(tmp_path):
     (tmp_path / "SAI_01_01.png").unlink()
     with pytest.raises(IOError):
         load_lf(str(tmp_path), "SAI_%02d_%02d.png", 2, 2, use_native="always")
+
+
+def test_native_save_roundtrip(tmp_path):
+    """Thread-pooled native PNG encoder (write-side twin of the native
+    loader): save -> load must be exact up to quantization at both bit
+    depths; skipped when the toolchain is unavailable."""
+    import numpy as np
+    import pytest
+
+    from lfbm5d_tpu import native
+    from lfbm5d_tpu.lf import synthetic_lf
+    from lfbm5d_tpu.lf.io import load_lf, save_lf
+
+    if not native.available():
+        pytest.skip("native io_accel unavailable")
+    lf = synthetic_lf(2, 2, 32, 40, channels=3, seed=4)
+    for bd, tol in ((8, 0.51), (16, 0.51 / 257)):
+        d = str(tmp_path / f"bd{bd}")
+        save_lf(lf, d, "S_%02d_%02d.png", bit_depth=bd)
+        back = load_lf(d, "S_%02d_%02d.png", 2, 2)
+        assert np.abs(back - np.clip(lf, 0, 255)).max() <= tol
