@@ -1,28 +1,37 @@
 """Kernel-backed filtering engine: the TPU-native group path.
 
-Same contract as pipeline.denoise._build_step (one HT or Wiener pass over all
-reference SAIs, returning padded numerator/denominator accumulators), but the
-group build / transform / shrinkage / aggregation stage runs on the Pallas
-kernels and the flat MXU transform layout instead of XLA gathers/scatters:
+Same contract as pipeline.denoise._build_step (one HT or Wiener pass over
+all reference SAIs, returning padded numerator/denominator accumulators),
+with the group build / transform / shrinkage / aggregation stage on Pallas
+kernels instead of XLA gathers/scatters. Round-2 structure:
 
-  per reference SAI (lax.scan):
-    block matching via ops.distances (displacement-stacked maps — already
-      MXU/VPU-friendly, reused unchanged)
-    per spatial tile (lax.fori_loop, static q_ref bucketing):
-      kernels.extract.extract_groups   — group rows from A-on-lanes bands
-      transforms.flat forward/inverse  — kron matmuls, [*, 128] shapes
-      ops.shrinkage (flat axes)        — HT / Wiener / SD weights
-      kernels.accumulate               — race-free banded scatter-add
+  per block of R reference SAIs (lax.scan):
+    block matching: self-similarity via ops.distances displacement maps +
+      top-N (ops.match); angular disparity argmin via kernels.bm
+      (VMEM-resident displacement loop; XLA scan in interpret mode)
+    per tile RANGE (lax.scan, range size set by the SMEM prefetch budget):
+      kernels.fused — ONE Pallas program doing extract (superpatch mux
+      from A-on-lanes bands) -> 2D/4D/5D forward matmul chain -> HT/
+      Wiener/SD shrink + weights -> inverse chain -> race-free banded
+      scatter-add aggregation, entirely in VMEM; bands and per-slot
+      disparity tables are sliced/gathered per range (all-tile
+      materializations OOM HBM at 9x9 defaults)
       dense band add into the global A-on-lanes accumulators
+
+Angular grids > 128 SAIs keep the round-1 two-kernel banked path
+(kernels.extract + XLA flat transforms + kernels.accumulate): the fused
+kernel's in-kernel angular matmul needs the full lane axis in one program.
 
 Tiles bucket REFERENCE patches (static grid => static shapes, no sorting);
 every slot's similar-patch superpatch lies within the tile band of height
 (tile extent + 2(n_search+n_disp) + k + 2*n_disp), padded to sublane
-multiples. Per-tile slot tables are compile-time constants.
+multiples. Per-tile slot tables are compile-time constants. With
+launch_blocks set, the builder returns a partial-launch fn so big configs
+execute as many bounded device launches (see build_kernel_step).
 
 The result is bit-identical to the XLA path (same BM decisions by the
 quantized-distance spec, same arithmetic order per group) up to float
-reassociation in the transforms.
+reassociation in the transforms; f64 interpret mode is oracle-exact.
 """
 
 from __future__ import annotations
