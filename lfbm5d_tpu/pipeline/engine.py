@@ -282,6 +282,12 @@ def build_kernel_step(
     use_bm_kernel = (not interpret) and (k & (k - 1)) == 0
     wq_bm = _round_up(wp + 2 * nd, _LANES)
     v1k = wq_bm - 2 * nd - k + 1  # kernel BM map width (>= v1)
+    # Angular-table width: the disparity-map row-gather is DRAM-random-
+    # access bound (42 ms/ref at width 128), so the tables run at the LIVE
+    # lane width (a rounded to sublanes, e.g. 88 for 9x9) and the fused
+    # branch pads to the kernel's 128 lanes per tile range. Banked grids
+    # need the full bank structure, so they keep a_pad.
+    ang_w = a_pad if banks > 1 else max(8, _round_up(a, 8))
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
@@ -381,20 +387,16 @@ def build_kernel_step(
                 # ~1 GB/s), then ONE row-gather at the similar-patch
                 # positions for every SAI.
                 bidx_f = jnp.pad(
-                    bidx.reshape(a, -1), ((0, a_pad - a), (0, 0)),
+                    bidx.reshape(a, -1), ((0, ang_w - a), (0, 0)),
                     constant_values=c_ang,
-                ).T  # [V, a_pad]
-                # materialize the row table before gathering: fused with the
-                # pad+transpose producer, XLA lowers the take to a
-                # per-element gather (measured 42 ms per ref vs ~1 ms for a
-                # row-gather from a materialized table)
+                ).T  # [V, ang_w]
                 bidx_f = lax.optimization_barrier(bidx_f)
                 fp = (sy * stride + sx).reshape(-1)  # [T*N]
                 an = jnp.take(bidx_f, fp, axis=0).reshape(
-                    t_count, n_sim, a_pad
+                    t_count, n_sim, ang_w
                 )
                 an = jnp.where(
-                    jnp.arange(a_pad)[None, None, :] == ri, c_ang, an
+                    jnp.arange(ang_w)[None, None, :] == ri, c_ang, an
                 )
                 return _, (sy, sx, lv, mk, an)
 
@@ -415,7 +417,7 @@ def build_kernel_step(
                 [mask, jnp.zeros((r_batch, 1, n_sim), bool)], axis=1
             )
             ang_p = jnp.concatenate(
-                [ang, jnp.full((r_batch, 1, n_sim, a_pad), c_ang, ang.dtype)],
+                [ang, jnp.full((r_batch, 1, n_sim, ang_w), c_ang, ang.dtype)],
                 axis=1,
             )
 
@@ -432,8 +434,8 @@ def build_kernel_step(
                 # the all-tile table is [nT, R, cpt, sc, L] — 3.1 GB at 9x9
                 # defaults, a main contributor to the HBM OOM device fault
                 doff_all = jnp.take(
-                    ang_p.reshape(-1, a_pad), slot_flat_c, axis=0
-                ).reshape(n_tiles, r_batch, cpt, sc, a_pad)
+                    ang_p.reshape(-1, ang_w), slot_flat_c, axis=0
+                ).reshape(n_tiles, r_batch, cpt, sc, ang_w)
             glvl_all = jnp.take(lvl_p.reshape(-1), tile_groups_ec).reshape(
                 n_tiles, r_batch, tt_pad
             )
@@ -470,7 +472,7 @@ def build_kernel_step(
                 # per-range gather sources (materialized so the in-scan
                 # takes hit the fast row-gather path)
                 ang_flat = lax.optimization_barrier(
-                    ang_p.reshape(-1, a_pad)
+                    ang_p.reshape(-1, ang_w)
                 )
                 sfc_2d = slot_flat_c.reshape(n_tiles, r_batch * cpt * sc)
 
@@ -500,8 +502,17 @@ def build_kernel_step(
 
                     sfc = dsl(sfc_2d, t0, tpc).reshape(-1)
                     doff_rng = jnp.take(ang_flat, sfc, axis=0).reshape(
-                        tpc, r_batch, cpt, sc, a_pad
+                        tpc, r_batch, cpt, sc, ang_w
                     )
+                    if ang_w < a_pad:
+                        # live-width tables -> kernel lane width; dead lanes
+                        # get c_ang (they read zero band lanes; masked rows
+                        # go fully sentinel via the where below)
+                        doff_rng = jnp.pad(
+                            doff_rng,
+                            ((0, 0),) * 4 + ((0, a_pad - ang_w),),
+                            constant_values=c_ang,
+                        )
                     smask_rng = dsl(smask_s, t0, tpc)
                     doff_rng = jnp.where(
                         smask_rng[..., None], doff_rng, sent
