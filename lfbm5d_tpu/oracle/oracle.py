@@ -271,3 +271,38 @@ def oracle_denoise(noisy_lf: np.ndarray, params: DenoiseParams):
     basic = space_to_rgb(basic, params.color_space)
     final = space_to_rgb(final, params.color_space)
     return basic, final
+
+
+def oracle_sr(lr_lf: np.ndarray, params) -> np.ndarray:
+    """Float64 reference of the SR pipeline (ICIP18, SURVEY.md §2.10 SR).
+
+    Bicubic init, then n_iter rounds of [oracle LFBM5D filter at sigma_i,
+    back-projection HR += gain * up(LR - down(HR))], sharing the EXACT
+    resize operators of lfbm5d_tpu.lf.resize (evaluated in float64) so the
+    only difference from pipeline.sr.run_sr is the filter arithmetic.
+    params: lfbm5d_tpu.config.SRParams.
+    """
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.config import DenoiseParams
+    from lfbm5d_tpu.lf.resize import downsample, upsample
+
+    lr = np.asarray(lr_lf, dtype=np.float64)
+    hr = np.asarray(upsample(jnp.asarray(lr), params.scale), dtype=np.float64)
+    sigmas = np.linspace(params.sigma_init, params.sigma_final, params.n_iter)
+    for sigma in sigmas:
+        dp = DenoiseParams(
+            sigma=float(sigma), lambda_3d=params.lambda_3d,
+            color_space=params.color_space, ht=params.ht,
+            wiener=params.wiener,
+        )
+        _, hr = oracle_denoise(hr, dp)
+        hr = np.asarray(hr, dtype=np.float64)
+        residual = lr - np.asarray(
+            downsample(jnp.asarray(hr), params.scale, params.decimation_blur),
+            dtype=np.float64,
+        )
+        hr = hr + params.bp_gain * np.asarray(
+            upsample(jnp.asarray(residual), params.scale), dtype=np.float64
+        )
+    return hr

@@ -133,3 +133,24 @@ def test_sr_decimation_blur_model():
     # when the true degradation includes the blur, the matched model must
     # not be significantly worse
     assert p_blur > p_box - 0.5, (p_box, p_blur)
+
+
+def test_sr_pipeline_matches_oracle_f64():
+    """run_sr in f64 == the float64 SR oracle (bit-near-exact): the SR loop
+    is oracle_denoise + the shared resize operators, so parity pins the
+    whole config-4 path, not just the denoiser."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.oracle.oracle import oracle_sr
+
+    tiny = dict(n_sim=4, n_search=3, n_disp=1, k=8, p=4)
+    clean = synthetic_lf(2, 2, 24, 24, channels=1, disp_bg=1, seed=9)
+    lr = np.asarray(downsample(jnp.asarray(clean), 2))
+    params = SRParams(
+        scale=2, n_iter=2, sigma_init=6.0, sigma_final=2.0,
+        ht=StepParams(tau_match=2500.0, **tiny),
+        wiener=StepParams(tau_match=400.0, **tiny), chunk=32,
+    )
+    hr = np.asarray(run_sr(lr, params, dtype="float64", engine="pallas"))
+    hr_o = oracle_sr(lr, params)
+    assert np.abs(hr - hr_o).max() < 1e-8
