@@ -380,3 +380,334 @@ def fused_group_step(
         ],
         interpret=interpret,
     )(*args)
+
+
+def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
+                        depth: int, planes: int, refs: int, banks: int,
+                        lambda_3d: float, wiener: bool, use_sd: bool,
+                        a_live: int, dt, cdt):
+    """Banked fused kernel for angular grids spanning several 128-lane banks
+    (probed in experiments/fused_banked_probe.py): per-bank band refs and
+    scratches, a bank-looped angular matmul (banks^2 [*,L]x[L,L] products),
+    cross-bank weight reductions, per-bank aggregation."""
+    kk = k * k
+    sk = k + 2 * nd
+    nsel = 2 * nd + 1
+    sent = nsel * nsel
+    gpc = sc // n_sim
+    acc_dt, wdt = _shrink_dtypes(jnp.dtype(cdt))
+    nb_band = banks * (2 if wiener else 1)
+
+    def kernel(*refs_args):
+        i0 = 0
+        syx_ref, lvl_ref, sig_ref = refs_args[i0:i0 + 3]; i0 += 3
+        band_n_refs = refs_args[i0:i0 + banks]; i0 += banks
+        if wiener:
+            band_b_refs = refs_args[i0:i0 + banks]; i0 += banks
+        doff_ref = refs_args[i0]; i0 += 1
+        k2f_ref, k2i_ref = refs_args[i0:i0 + 2]; i0 += 2
+        k4f_blk = refs_args[i0:i0 + banks * banks]; i0 += banks * banks
+        k4i_blk = refs_args[i0:i0 + banks * banks]; i0 += banks * banks
+        stf_ref, sti_ref, kai_ref = refs_args[i0:i0 + 3]; i0 += 3
+        num_refs = refs_args[i0:i0 + banks]; i0 += banks
+        den_refs = refs_args[i0:i0 + banks]; i0 += banks
+        scr_refs = refs_args[i0:i0 + banks]; i0 += banks
+        scrb_refs = refs_args[i0:i0 + banks]; i0 += banks
+
+        ip = pl.program_id(0)  # (tile, plane, ref)
+        j = pl.program_id(1)
+        i_meta = (ip // (refs * planes)) * refs + ip % refs
+        p_idx = (ip // refs) % planes
+
+        @pl.when((ip % refs == 0) & (j == 0))
+        def _():
+            for b in range(banks):
+                num_refs[b][...] = jnp.zeros_like(num_refs[b])
+                den_refs[b][...] = jnp.zeros_like(den_refs[b])
+
+        def slot_pos(s):
+            v = syx_ref[i_meta, j, s]
+            y = v // 2048
+            return y, v - y * 2048
+
+        def extract_one(band_ref, out_ref, s, b):
+            y, x = slot_pos(s)
+            sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :].astype(dt)
+            d = doff_ref[0, b * sc + s, :]
+            dy = (d // nsel)[None, None, :]
+            dx = (d - (d // nsel) * nsel)[None, None, :]
+            acc = jnp.zeros((k, sk, l), dtype=dt)
+            for m in range(nsel):
+                acc = jnp.where(dy == m, sup[m : m + k, :, :], acc)
+            patch = jnp.zeros((k, k, l), dtype=dt)
+            for m in range(nsel):
+                patch = jnp.where(dx == m, acc[:, m : m + k, :], patch)
+            out_ref[pl.ds(s * kk, kk), :] = patch.reshape(kk, l)
+
+        def ext_body(s, _):
+            for b in range(banks):
+                extract_one(band_n_refs[b], scr_refs[b], s, b)
+                if wiener:
+                    extract_one(band_b_refs[b], scrb_refs[b], s, b)
+            return 0
+
+        jax.lax.fori_loop(0, sc, ext_body, 0)
+
+        def sel(tab_ref, lv):
+            m = jnp.zeros((n_sim, n_sim), cdt)
+            for d_ in range(depth):
+                m = jnp.where(lv == d_, tab_ref[d_], m)
+            return m
+
+        lvls = [lvl_ref[i_meta, j, g] for g in range(gpc)]
+        m5f = jnp.stack([sel(stf_ref, lv) for lv in lvls])
+        m5i = jnp.stack([sel(sti_ref, lv) for lv in lvls])
+
+        def dg(a_, b_, dims):
+            r = jax.lax.dot_general(a_, b_, dims,
+                                    preferred_element_type=acc_dt)
+            return r.astype(cdt)
+
+        def fwd(g_list):
+            s2 = [dg(k2f_ref[...], g, (((1,), (2,)), ((), ())))
+                  for g in g_list]  # per bank [P, gpc, N, L]
+            s4 = []
+            for bo in range(banks):
+                acc = dg(s2[0], k4f_blk[0 * banks + bo][...],
+                         (((3,), (0,)), ((), ())))
+                for bi in range(1, banks):
+                    acc = acc + dg(s2[bi], k4f_blk[bi * banks + bo][...],
+                                   (((3,), (0,)), ((), ())))
+                s4.append(acc)
+            out = []
+            for bo in range(banks):
+                sp_ = jnp.transpose(s4[bo], (1, 2, 0, 3))  # [gpc, N, P, L]
+                out.append(dg(m5f, sp_, (((2,), (1,)), ((0,), (0,)))))
+            return out
+
+        def inv(spec_list):
+            s5 = [dg(m5i, sp_, (((2,), (1,)), ((0,), (0,))))
+                  for sp_ in spec_list]  # [gpc, N, P, L]
+            out = []
+            for bo in range(banks):
+                acc = dg(s5[0], k4i_blk[0 * banks + bo][...],
+                         (((3,), (0,)), ((), ())))
+                for bi in range(1, banks):
+                    acc = acc + dg(s5[bi], k4i_blk[bi * banks + bo][...],
+                                   (((3,), (0,)), ((), ())))
+                est = dg(k2i_ref[...], acc, (((1,), (2,)), ((), ())))
+                out.append(jnp.transpose(est, (1, 2, 0, 3)))
+            return out
+
+        def smear(x_l):
+            ones_l = jnp.ones((l, l), wdt)
+            return jax.lax.dot_general(
+                x_l, ones_l, (((3,), (0,)), ((), ())),
+                preferred_element_type=wdt)
+
+        g_n = [scr_refs[b][...].reshape(gpc, n_sim, kk, l).astype(cdt)
+               for b in range(banks)]
+        sig = sig_ref[p_idx].astype(wdt)
+
+        if wiener:
+            g_b = [scrb_refs[b][...].reshape(gpc, n_sim, kk, l).astype(cdt)
+                   for b in range(banks)]
+            spec_n = [s.astype(wdt) for s in fwd(g_n)]
+            spec_b = [s.astype(wdt) for s in fwd(g_b)]
+            filt, ws_l = [], None
+            for b in range(banks):
+                b2 = spec_b[b] * spec_b[b]
+                wien = b2 / (b2 + sig * sig)
+                filt.append((spec_n[b] * wien).astype(cdt))
+                part = jnp.sum(wien * wien, axis=(1, 2), keepdims=True)
+                ws_l = part if ws_l is None else ws_l + part
+            wsum = smear(ws_l)
+            wgt = jnp.where(
+                wsum > 0, 1.0 / (sig * sig * jnp.maximum(wsum, 1e-30)),
+                jnp.asarray(1.0, wdt),
+            )
+        else:
+            thr = (lambda_3d * sig).astype(wdt)
+            spec = [s.astype(wdt) for s in fwd(g_n)]
+            filt, nnz_l = [], None
+            for b in range(banks):
+                keep = (jnp.abs(spec[b]) >= thr).astype(wdt)
+                filt.append((spec[b] * keep).astype(cdt))
+                part = jnp.sum(keep, axis=(1, 2), keepdims=True)
+                nnz_l = part if nnz_l is None else nnz_l + part
+            nnz = smear(nnz_l)
+            wgt = jnp.where(
+                nnz > 0, 1.0 / (sig * sig * jnp.maximum(nnz, 1.0)),
+                jnp.asarray(1.0, wdt),
+            )
+
+        est = [e.astype(dt) for e in inv(filt)]
+
+        if use_sd:
+            s1_l = s2_l = None
+            for b in range(banks):
+                ef = est[b].astype(wdt)
+                p1 = jnp.sum(ef, axis=(1, 2), keepdims=True)
+                p2 = jnp.sum(ef * ef, axis=(1, 2), keepdims=True)
+                s1_l = p1 if s1_l is None else s1_l + p1
+                s2_l = p2 if s2_l is None else s2_l + p2
+            s1 = smear(s1_l)
+            s2 = smear(s2_l)
+            cnt = jnp.stack([
+                jnp.full((1, 1, l), 1.0, wdt) * jnp.asarray(
+                    float(a_live * kk), wdt
+                ) * jnp.exp2(lv.astype(wdt))
+                for lv in lvls
+            ])
+            mean = s1 / cnt
+            var = s2 / cnt - mean * mean
+            wgt = jnp.where(
+                var > 0, 1.0 / jnp.maximum(var, 1e-30), jnp.asarray(1.0, wdt)
+            )
+
+        d0 = doff_ref[0, :sc, :]  # bank-0 rows; masks are slot-uniform
+        mskv = (d0 < sent).astype(wdt).reshape(gpc, n_sim, 1, l)
+        wm = (wgt * mskv).astype(dt)
+        kai_b = jnp.broadcast_to(kai_ref[...], (k, k, l)).reshape(1, 1, kk, l)
+        den_rows = jnp.broadcast_to(wm * kai_b, (gpc, n_sim, kk, l))
+        for b in range(banks):
+            scr_refs[b][...] = (est[b] * wm * kai_b).reshape(sc * kk, l)
+            scrb_refs[b][...] = den_rows.reshape(sc * kk, l)
+
+        def place(patch, dy, dx):
+            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                shifted = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
+                accx = jnp.where(dx == m, shifted, accx)
+            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
+            for m in range(nsel):
+                shifted = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
+                sup = jnp.where(dy == m, shifted, sup)
+            return sup
+
+        out_dt = _out_dtype(dt)
+
+        def agg_body(s, _):
+            y, x = slot_pos(s)
+            for b in range(banks):
+                d = doff_ref[0, b * sc + s, :]
+                dm = jnp.minimum(d, sent - 1)
+                dy = (dm // nsel)[None, None, :]
+                dx = (dm - (dm // nsel) * nsel)[None, None, :]
+                pn = scr_refs[b][pl.ds(s * kk, kk), :].reshape(k, k, l)
+                pd = scrb_refs[b][pl.ds(s * kk, kk), :].reshape(k, k, l)
+                sup_n = place(pn, dy, dx).astype(out_dt)
+                sup_d = place(pd, dy, dx).astype(out_dt)
+                cur_n = num_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :]
+                num_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
+                cur_d = den_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :]
+                den_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_d + sup_d
+            return 0
+
+        jax.lax.fori_loop(0, sc, agg_body, 0)
+
+    return kernel
+
+
+def fused_group_step_banked(
+    bands_n, bands_b, syx, lvl, sig, doff,
+    k2f, k2i, k4f, k4i, stf, sti, kaiser,
+    *, bh: int, bw: int, k: int, nd: int, n_sim: int,
+    lambda_3d: float, wiener: bool, use_sd: bool, a_live: int,
+    planes: int, refs: int, interpret: bool = False,
+):
+    """Banked fused pass: like fused_group_step for angular grids spanning
+    `banks = len(bands_n)` 128-lane banks.
+
+    bands_n/bands_b: LISTS of per-bank [n_tiles*planes, bh, bw, L] slabs.
+    doff: [n_tiles*refs, n_chunks, Sc, banks, L] (sentinel rows sentinel in
+    EVERY bank). k4f/k4i: the FULL [banks*L, banks*L] angular matrices in
+    forward_flat orientation (blocks are transposed internally). Returns
+    (num_bands, den_bands): LISTS of per-bank [n_tiles*planes, bh, bw, L].
+    """
+    banks = len(bands_n)
+    nb, bh_, bw_, l = bands_n[0].shape
+    n_meta, n_chunks, sc, banks_d, l_d = doff.shape
+    assert banks_d == banks and l_d == l
+    # kernel-side layout: bank-major rows [banks*sc, L] so every in-kernel
+    # read is the proven single-bank row pattern (a per-slot [s, b, :] read
+    # from a 4D block faulted the TPU worker in compiled mode)
+    doff = jnp.moveaxis(doff, 3, 2)  # [n_meta, cpt, banks, sc, L]
+    n_tiles = nb // planes
+    assert nb == n_tiles * planes and n_meta == n_tiles * refs
+    assert sc % n_sim == 0
+    depth = stf.shape[0]
+    dt = bands_n[0].dtype
+    cdt = k2f.dtype
+    nb2 = n_tiles * planes * refs
+    kk = k * k
+
+    # blocks of the TRANSPOSED matrices (the in-kernel dot contracts the
+    # matrix's leading axis; see fused_group_step)
+    k4f_t = k4f.T
+    k4i_t = k4i.T
+    k4f_blocks = [k4f_t[bi * l:(bi + 1) * l, bo * l:(bo + 1) * l]
+                  for bi in range(banks) for bo in range(banks)]
+    k4i_blocks = [k4i_t[bi * l:(bi + 1) * l, bo * l:(bo + 1) * l]
+                  for bi in range(banks) for bo in range(banks)]
+
+    kernel = _make_banked_kernel(
+        k, nd, sc, l, n_sim, depth, planes, refs, banks, lambda_3d, wiener,
+        use_sd, a_live, dt, cdt,
+    )
+
+    def _band_idx(i, j, *_):
+        return (i // refs, 0, 0, 0)
+
+    def _doff_idx(i, j, *_):
+        return (((i // (refs * planes)) * refs + i % refs) * n_chunks + j,
+                0, 0)
+
+    band_spec = pl.BlockSpec((1, bh, bw, l), _band_idx,
+                             memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        rank = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, *_: (0,) * rank, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [band_spec] * (banks * (2 if wiener else 1))
+    in_specs.append(
+        pl.BlockSpec((1, banks * sc, l), _doff_idx, memory_space=pltpu.VMEM)
+    )
+    in_specs += [const_spec((kk, kk))] * 2
+    in_specs += [const_spec((l, l))] * (2 * banks * banks)
+    in_specs += [const_spec((depth, n_sim, n_sim))] * 2
+    in_specs += [const_spec((k, k, 1))]
+
+    out_spec = pl.BlockSpec((1, bh, bw, l), lambda i, j, *_: (i // refs, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((sc * kk, l), dt) for _ in range(2 * banks)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb2, n_chunks),
+        in_specs=in_specs,
+        out_specs=[out_spec] * (2 * banks),
+        scratch_shapes=scratch,
+    )
+
+    args = [syx, lvl, sig] + list(bands_n)
+    if wiener:
+        args += list(bands_b)
+    args += [doff.reshape(n_meta * n_chunks, banks * sc, l)]
+    args += [k2f, k2i] + k4f_blocks + k4i_blocks + [stf, sti, kaiser]
+
+    out_dt = _out_dtype(dt)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * planes, bh, bw, l), out_dt)
+                   for _ in range(2 * banks)],
+        interpret=interpret,
+    )(*args)
+    return list(outs[:banks]), list(outs[banks:])

@@ -47,7 +47,7 @@ from lfbm5d_tpu.config import StepParams
 from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
 from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
 from lfbm5d_tpu.kernels.extract import extract_groups
-from lfbm5d_tpu.kernels.fused import fused_group_step
+from lfbm5d_tpu.kernels.fused import fused_group_step, fused_group_step_banked
 from lfbm5d_tpu.lf.pad import ind_initialize
 from lfbm5d_tpu.ops.distances import (
     center_index,
@@ -118,6 +118,11 @@ def build_kernel_step(
     k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
     a = a_h * a_w
     if fused is None:
+        # The banked-fused kernel (a <= 384) is numerically exact in
+        # interpret mode but FAULTS the TPU worker when compiled (round-2
+        # observation, cause not yet isolated; see DESIGN_NOTES) — so the
+        # default keeps >128-SAI grids on the proven two-kernel path.
+        # Opt in with fused=True to work on it.
         fused = a <= _LANES
     if group_dtype is not None and not fused:
         raise ValueError("group_dtype requires the fused engine (a <= 128)")
@@ -137,8 +142,8 @@ def build_kernel_step(
     # quantized anyway (a [*, 32] op costs the same vector work as [*, 128]),
     # so this only costs band VMEM/bandwidth, which fusion more than repays.
     # Interpret mode (CPU tests) keeps the narrow adaptive width.
-    if fused and a > _LANES:
-        raise ValueError("fused engine requires a <= 128 SAIs")
+    if fused and a > 3 * _LANES:
+        raise ValueError("fused engine requires a <= 384 SAIs (3 banks)")
     if a <= _LANES:
         banks = 1
         kl = _LANES if (fused and not interpret) else max(8, _round_up(a, 8))
@@ -164,7 +169,9 @@ def build_kernel_step(
     # the band block (tile extent + 2(n+nd) + k + 2nd each way) must leave
     # room for the streaming idx/out blocks and their double buffers.
     halo = 2 * (n + nd) + k + 2 * nd
-    band_budget = 4_500_000  # bytes
+    # banked fused holds `banks` band slabs (+ outs + scratches) per
+    # program, so the per-slab budget shrinks accordingly
+    band_budget = 4_500_000 // (banks if fused else 1)  # bytes
 
     def band_bytes(r, cc):
         bhh = _round_up((r - 1) * sp.p + halo, 8)
@@ -498,7 +505,11 @@ def build_kernel_step(
                                 tab_, (zero, oy, ox, zero),
                                 (c, bh, bw, a_pad),
                             ))
-                        return jnp.concatenate(slabs, axis=0)
+                        full = jnp.concatenate(slabs, axis=0)
+                        if banks == 1:
+                            return full
+                        return [full[..., b * kl:(b + 1) * kl]
+                                for b in range(banks)]
 
                     sfc = dsl(sfc_2d, t0, tpc).reshape(-1)
                     doff_rng = jnp.take(ang_flat, sfc, axis=0).reshape(
@@ -518,20 +529,40 @@ def build_kernel_step(
                         smask_rng[..., None], doff_rng, sent
                     ).reshape(tpc * r_batch, cpt, sc, a_pad).astype(jnp.int32)
 
-                    nb_out, db_out = fused_group_step(
-                        get_bands(tab),
-                        get_bands(tab_b) if wiener else None,
-                        dsl(syx_k, m0, tpc * r_batch),
-                        dsl(lvl_k, m0, tpc * r_batch),
-                        sig_k,
-                        doff_rng,
-                        ft.k2f, ft.k2i, ft.k4f, ft.k4i,
-                        ft.stack_f, ft.stack_i, kaiser_3d,
+                    common = dict(
                         bh=bh, bw=bw, k=k, nd=nd, n_sim=n_sim,
                         lambda_3d=lambda_3d, wiener=wiener,
                         use_sd=sp.use_sd, a_live=a, planes=c,
                         refs=r_batch, interpret=interpret,
                     )
+                    if banks == 1:
+                        nb_out, db_out = fused_group_step(
+                            get_bands(tab),
+                            get_bands(tab_b) if wiener else None,
+                            dsl(syx_k, m0, tpc * r_batch),
+                            dsl(lvl_k, m0, tpc * r_batch),
+                            sig_k,
+                            doff_rng,
+                            ft.k2f, ft.k2i, ft.k4f, ft.k4i,
+                            ft.stack_f, ft.stack_i, kaiser_3d,
+                            **common,
+                        )
+                    else:
+                        nbs, dbs = fused_group_step_banked(
+                            get_bands(tab),
+                            get_bands(tab_b) if wiener else None,
+                            dsl(syx_k, m0, tpc * r_batch),
+                            dsl(lvl_k, m0, tpc * r_batch),
+                            sig_k,
+                            doff_rng.reshape(
+                                tpc * r_batch, cpt, sc, banks, kl
+                            ),
+                            ft.k2f, ft.k2i, ft.k4f, ft.k4i,
+                            ft.stack_f, ft.stack_i, kaiser_3d,
+                            **common,
+                        )
+                        nb_out = jnp.concatenate(nbs, axis=-1)
+                        db_out = jnp.concatenate(dbs, axis=-1)
                     nb_out = nb_out.reshape(tpc, c, bh, bw, a_pad)
                     db_out = db_out.reshape(tpc, c, bh, bw, a_pad)
 

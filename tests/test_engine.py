@@ -174,3 +174,57 @@ def test_launched_execution_matches_single_program():
                                 "float32", None)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
+
+
+def test_unfused_banked_path_still_exact():
+    """The two-kernel banked path (now the fallback for >384-SAI grids)
+    stays f64-exact when selected explicitly."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import (
+        _build_step, _flat_pad, _sigma_channels,
+    )
+    from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+    sp = StepParams(tau_match=2500.0, n_sim=4, n_search=2, n_disp=1, k=4, p=3)
+    ah, aw, h, w, c = 12, 12, 14, 14, 1  # 144 SAIs = 2 banks
+    clean = synthetic_lf(ah, aw, h, w, channels=1, seed=0)
+    noisy = add_noise_np(clean, 20.0, seed=1)
+    xp = _flat_pad(jnp.asarray(noisy, jnp.float64), sp.pad)
+    sig = _sigma_channels(20.0, "rgb", c, "float64")
+    fx = _build_step(sp, 2.7, ah, aw, h, w, c, 32, False, "float64")
+    f_two = build_kernel_step(
+        sp, 2.7, ah, aw, h, w, c, False, "float64",
+        interpret=True, fused=False,
+    )
+    nx, dx = fx(xp, xp, sig, None)
+    nt, dt_ = f_two(xp, xp, sig, None)
+    assert np.abs(np.asarray(nx) - np.asarray(nt)).max() < 1e-9
+
+
+def test_banked_fused_engine_exact_f64_experimental():
+    """EXPERIMENTAL banked-fused kernel (one program across 128-lane banks,
+    probed in experiments/fused_banked_probe.py): f64-exact vs the XLA path
+    in interpret mode. Compiled mode currently faults the TPU worker (why
+    it is not the default); this test pins the numerics for round 3."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import (
+        _build_step, _flat_pad, _sigma_channels,
+    )
+    from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+    sp = StepParams(tau_match=2500.0, n_sim=4, n_search=2, n_disp=1, k=4, p=3)
+    ah, aw, h, w, c = 12, 12, 14, 14, 1  # 144 SAIs = 2 banks
+    clean = synthetic_lf(ah, aw, h, w, channels=1, seed=0)
+    noisy = add_noise_np(clean, 20.0, seed=1)
+    xp = _flat_pad(jnp.asarray(noisy, jnp.float64), sp.pad)
+    sig = _sigma_channels(20.0, "rgb", c, "float64")
+    fx = _build_step(sp, 2.7, ah, aw, h, w, c, 32, False, "float64")
+    f_bk = build_kernel_step(
+        sp, 2.7, ah, aw, h, w, c, False, "float64",
+        interpret=True, fused=True,
+    )
+    nx, dx = fx(xp, xp, sig, None)
+    nb_, db_ = f_bk(xp, xp, sig, None)
+    assert np.abs(np.asarray(nx) - np.asarray(nb_)).max() < 1e-9
