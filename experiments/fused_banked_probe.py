@@ -142,3 +142,71 @@ if __name__ == "__main__":
         except Exception as e:
             print(f"{fn.__name__}: FAIL {type(e).__name__}: "
                   + str(e).split(chr(10))[0][:250])
+
+
+def probe_full_wrapper(n_tiles=1, planes=1, refs=1, cpt=1, sc=8, n_sim=4,
+                       k=8, nd=1, bh=40, bw=48, wiener=False, seed=0,
+                       a_live=144, banks=None):
+    """P3: the REAL fused_group_step_banked at small shapes, compiled vs
+    interpret (the engine-level fault isolator: the 12x12 engine run
+    crashes the worker; find the smallest faulting configuration)."""
+    import numpy as np
+
+    from lfbm5d_tpu.kernels.fused import fused_group_step_banked
+    from lfbm5d_tpu.transforms import matrices as tm
+
+    rng = np.random.default_rng(seed)
+    banks = banks or BANKS
+    nsel = 2 * nd + 1
+    sent = nsel * nsel
+    gpc = sc // n_sim
+    n_meta = n_tiles * refs
+    sk = k + 2 * nd
+
+    bands_n = [jnp.asarray(rng.standard_normal(
+        (n_tiles * planes, bh, bw, L)) * 50, jnp.float32)
+        for _ in range(banks)]
+    bands_b = [jnp.asarray(rng.standard_normal(
+        (n_tiles * planes, bh, bw, L)) * 50, jnp.float32)
+        for _ in range(banks)]
+    sy = rng.integers(0, bh - sk + 1, (n_meta, cpt, sc))
+    sx = rng.integers(0, bw - sk + 1, (n_meta, cpt, sc))
+    syx = jnp.asarray(sy * 2048 + sx, jnp.int32)
+    lvl = jnp.asarray(rng.integers(0, int(np.log2(n_sim)) + 1,
+                                   (n_meta, cpt, gpc)), jnp.int32)
+    doff = rng.integers(0, sent, (n_meta, cpt, sc, banks, L))
+    msk = rng.random((n_meta, cpt, sc)) >= 0.2
+    doff = jnp.asarray(np.where(msk[..., None, None], doff, sent), jnp.int32)
+    sig = jnp.asarray([25.0] * planes, jnp.float32)
+    f2 = tm.dct_matrix(k)
+    k2f = jnp.asarray(np.kron(f2, f2), jnp.float32)
+    a_pad = banks * L
+    k4 = np.zeros((a_pad, a_pad))
+    k4[:a_live, :a_live] = np.eye(a_live) + 0.01 * rng.standard_normal(
+        (a_live, a_live))
+    k4f = jnp.asarray(k4, jnp.float32)
+    stf, sti = tm.stack_matrices("haar", n_sim)
+    kai = jnp.asarray(np.asarray(tm.kaiser_window(k)).reshape(k, k, 1),
+                      jnp.float32)
+    kw = dict(bh=bh, bw=bw, k=k, nd=nd, n_sim=n_sim, lambda_3d=2.7,
+              wiener=wiener, use_sd=False, a_live=a_live, planes=planes,
+              refs=refs)
+
+    def run(interp):
+        nb_, db_ = fused_group_step_banked(
+            bands_n, bands_b if wiener else None, syx, lvl, sig, doff,
+            k2f, jnp.asarray(np.kron(f2, f2).T, jnp.float32),
+            k4f, jnp.asarray(k4.T, jnp.float32),
+            jnp.asarray(stf, jnp.float32), jnp.asarray(sti, jnp.float32),
+            kai, interpret=interp, **kw)
+        return [np.asarray(x) for x in nb_], [np.asarray(x) for x in db_]
+
+    ni, di = run(True)
+    nc, dc = run(False)
+    err = max(float(np.abs(ni[b] - nc[b]).max()) for b in range(banks))
+    errd = max(float(np.abs(di[b] - dc[b]).max()) for b in range(banks))
+    tag = f"tiles={n_tiles} planes={planes} refs={refs} cpt={cpt} " \
+          f"wiener={wiener}"
+    ok = err < 1e-2 and errd < 1e-2
+    print(f"P3 {'OK  ' if ok else 'FAIL'} {tag}: num {err:.2e} den {errd:.2e}",
+          flush=True)

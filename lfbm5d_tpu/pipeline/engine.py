@@ -118,11 +118,13 @@ def build_kernel_step(
     k, n, nd, n_sim, pad = sp.k, sp.n_search, sp.n_disp, sp.n_sim, sp.pad
     a = a_h * a_w
     if fused is None:
-        # The banked-fused kernel (a <= 384) is numerically exact in
-        # interpret mode but FAULTS the TPU worker when compiled (round-2
-        # observation, cause not yet isolated; see DESIGN_NOTES) — so the
-        # default keeps >128-SAI grids on the proven two-kernel path.
-        # Opt in with fused=True to work on it.
+        # Default: single-bank grids only. The banked-fused kernel (up to
+        # 3 banks, 1.3x the two-kernel path at 17x17) is proven on-chip in
+        # SEPARATE per-step programs, but the combined two-step program
+        # built by build_denoise_fn hits a compiled-schedule fault
+        # (DESIGN_NOTES) — so only the launched execution path opts into
+        # banked-fused (fused=True); everything else keeps the proven
+        # two-kernel banked path for >128 SAIs.
         fused = a <= _LANES
     if group_dtype is not None and not fused:
         raise ValueError("group_dtype requires the fused engine (a <= 128)")
