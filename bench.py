@@ -9,7 +9,14 @@ in OPP color space. No LF datasets exist on this machine (SURVEY.md §0), so
 the LF is synthetic with genuine disparity structure; PSNR against the clean
 LF is reported alongside throughput ("matched PSNR" context).
 
-Usage: python bench.py [--quick] [--preset default|fast] [--runs N]
+Measurement protocol (round-3, VERDICT weak #1): the first run is
+warm-up/compile and is never counted; the timed loop then takes --runs
+samples (default 3) and reports min plus every sample and the spread, so a
+single slow sample cannot silently regress the recorded number (this
+machine's tunnel shows up to 2.2x cross-session variance on some configs;
+see BASELINE.md).
+
+Usage: python bench.py [--quick] [--preset default|fast|matched] [--runs N]
 """
 
 import argparse
@@ -27,10 +34,13 @@ def main():
                     "can take ~10 min on the remote-compile service)")
     ap.add_argument("--quick", action="store_true",
                     help="small LF (3x3x96x128) smoke test")
-    ap.add_argument("--runs", type=int, default=1)
-    ap.add_argument("--preset", default="fast", choices=["default", "fast"],
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--preset", default="fast",
+                    choices=["default", "fast", "matched"],
                     help="'default' = reference-default parameters; 'fast' = "
-                    "throughput preset (N=8, p=6, smaller search windows)")
+                    "throughput preset (N=8, p=6, smaller search windows); "
+                    "'matched' = fastest preset measured within 0.05 dB of "
+                    "reference-default PSNR (BASELINE.md knee sweep)")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--sigma", type=float, default=25.0)
@@ -61,6 +71,10 @@ def main():
 
     if args.preset == "fast":
         step = dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
+    elif args.preset == "matched":
+        # fastest preset measured <= 0.05 dB below reference-default PSNR
+        # at the 9x9 flagship shape (BASELINE.md round-3 knee sweep)
+        step = dict(n_sim=16, n_search=8, n_disp=2, k=8, p=4)
     else:
         step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
     params = DenoiseParams(
@@ -105,6 +119,7 @@ def main():
         float(final[0, 0, 0, 0, 0])
         times.append(time.time() - t0)
     dt = min(times)
+    spread = (max(times) - min(times)) / min(times)
     if args.profile:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
@@ -137,8 +152,22 @@ def main():
         ),
         "value": round(value, 3),
         "unit": "Mpix/s",
-        "vs_baseline": round(value / 50.0, 4),
+        # vs_baseline divides by the 50 Mpix/s north-star target ONLY for
+        # the config it is defined on (the 9x9 EPFL shape, --full); the 5x5
+        # proxy is rebased against its own recorded round-1 driver value
+        # (BENCH_r01.json: 0.495 Mpix/s) so the ratio tracks progress on
+        # the identical config instead of mixing configs (VERDICT weak #8).
+        "vs_baseline": (
+            round(value / 50.0, 4) if args.full else round(value / 0.495, 4)
+        ),
+        "vs_baseline_ref": (
+            "50 Mpix/s north-star target" if args.full
+            else "round-1 recorded proxy value 0.495 Mpix/s (BENCH_r01.json)"
+        ),
         "seconds_per_lf": round(dt, 3),
+        "run_seconds": [round(t, 3) for t in times],
+        "spread_frac": round(spread, 3),
+        "compile_plus_first_s": round(compile_and_first, 1),
         "mpix": round(mpix, 2),
         "psnr_noisy_db": round(p_noisy, 2),
         "psnr_basic_db": round(p_basic, 2),

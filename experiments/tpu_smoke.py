@@ -15,7 +15,12 @@ any failure:
 Usage: python experiments/tpu_smoke.py
 """
 
+import os
 import sys
+
+# Invoked as a script, sys.path gets THIS directory, not the repo root;
+# both the package and the sibling probe imports need the root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

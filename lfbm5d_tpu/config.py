@@ -36,6 +36,13 @@ class StepParams:
       k: patch size (k x k).
       p: reference-patch grid step; a final row/col is flushed to the image
         boundary (SURVEY.md §2.10.2).
+      p_ang: reference-SAI grid step (LFBM5D-TPU extension; 1 = reference
+        semantics). The reference algorithm lets EVERY SAI serve as
+        reference once (SURVEY.md §2.10.3); p_ang > 1 subsamples the
+        reference role onto a strided angular grid with boundary flush
+        (the angular analog of p). Groups still span and aggregate into
+        ALL SAIs, so every SAI's output keeps contributions from every
+        reference pass — total work divides by ~p_ang^2.
       tau_2d: spatial transform on each k x k patch: 'dct' | 'bior'.
       tau_4d: angular transform across the SAI grid axes: 'dct' | 'id'.
       tau_5d: transform along the similarity stack: 'haar' | 'hadamard' | 'dct'.
@@ -50,6 +57,7 @@ class StepParams:
     n_disp: int = 2
     k: int = 8
     p: int = 3
+    p_ang: int = 1
     tau_2d: str = "dct"
     tau_4d: str = "dct"
     tau_5d: str = "haar"
@@ -59,6 +67,8 @@ class StepParams:
     def __post_init__(self):
         if self.n_sim < 1 or (self.n_sim & (self.n_sim - 1)) != 0:
             raise ValueError(f"n_sim must be a power of two, got {self.n_sim}")
+        if self.p_ang < 1:
+            raise ValueError(f"p_ang must be >= 1, got {self.p_ang}")
         if self.tau_2d not in ("dct", "bior"):
             raise ValueError(f"tau_2d must be 'dct' or 'bior', got {self.tau_2d!r}")
         if self.tau_4d not in ("dct", "id"):

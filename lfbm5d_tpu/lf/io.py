@@ -131,8 +131,15 @@ def save_lf(
                 ]
                 native.save_lf_native(np.asarray(lf), paths, bit_depth)
                 return
-        except Exception:
-            pass  # fall back to PIL/OpenCV below
+        except RuntimeError as e:
+            # Encoder unavailable (build/symbol failure) -> PIL/OpenCV path.
+            # Genuine encode errors (IOError) propagate: a partial write must
+            # not be silently retried with a different rounding convention.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "native PNG encoder unavailable (%s); falling back to PIL", e
+            )
     for s in range(a_h):
         for t in range(a_w):
             arr = np.asarray(lf[s, t], dtype=np.float64)

@@ -25,6 +25,20 @@ def ind_initialize(size: int, k: int, p: int) -> np.ndarray:
     return np.asarray(ind, dtype=np.int32)
 
 
+def ref_sai_grid(a_h: int, a_w: int, p_ang: int = 1) -> np.ndarray:
+    """Flattened indices of the SAIs that serve as references.
+
+    p_ang == 1 reproduces the reference semantics (every SAI is a reference
+    once, SURVEY.md §2.10.3). p_ang > 1 subsamples the reference role onto
+    a strided angular grid with boundary flush (`ind_initialize` with k=1)
+    — the angular analog of the spatial reference-patch step p. Groups
+    still span/aggregate into all SAIs (see config.StepParams.p_ang).
+    """
+    ss = ind_initialize(a_h, 1, p_ang)
+    ts = ind_initialize(a_w, 1, p_ang)
+    return (ss[:, None] * a_w + ts[None, :]).reshape(-1).astype(np.int32)
+
+
 def symmetric_pad(img, pad: int):
     """Symmetric (mirror, edge-inclusive) padding of the last-2 spatial axes
     for [..., H, W] or the middle spatial axes for [..., H, W, C] arrays.

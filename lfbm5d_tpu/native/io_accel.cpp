@@ -20,6 +20,7 @@
 #include <png.h>
 
 #include <atomic>
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <thread>
@@ -131,12 +132,14 @@ int encode_one(const char* path, const float* in, int h, int w, int c,
       unsigned short* dst = (unsigned short*)row.data();
       for (int i = 0; i < w * c; ++i) {
         float v = src[i] * 257.0f + 0.5f;
+        if (!std::isfinite(v)) v = 0.f;  // NaN passes both clamps; UB on cast
         dst[i] = (unsigned short)(v < 0.f ? 0.f : (v > 65535.f ? 65535.f : v));
       }
     } else {
       unsigned char* dst = row.data();
       for (int i = 0; i < w * c; ++i) {
         float v = src[i] + 0.5f;
+        if (!std::isfinite(v)) v = 0.f;
         dst[i] = (unsigned char)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
       }
     }

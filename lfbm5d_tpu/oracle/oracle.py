@@ -37,7 +37,7 @@ import numpy as np
 
 from lfbm5d_tpu.config import DenoiseParams, StepParams
 from lfbm5d_tpu.lf.color import channel_sigma_scales, rgb_to_space, space_to_rgb
-from lfbm5d_tpu.lf.pad import ind_initialize, pad_lf
+from lfbm5d_tpu.lf.pad import ind_initialize, pad_lf, ref_sai_grid
 from lfbm5d_tpu.ops.distances import DIST_QUANT
 from lfbm5d_tpu.transforms import matrices as tm
 
@@ -191,42 +191,46 @@ def _oracle_step(
     num = np.zeros_like(noisy_p)
     den = np.zeros_like(noisy_p)
 
-    for r_s in range(a_h):
-        for r_t in range(a_w):
-            for y in ys:
-                for x in xs:
-                    sim_pos, ang_pos = oracle_block_match(
-                        match_p, r_s, r_t, int(y), int(x), sp
+    # p_ang subsamples which SAIs serve as reference (strided + flush,
+    # config.StepParams.p_ang); groups still aggregate into all SAIs.
+    for r_flat in ref_sai_grid(a_h, a_w, sp.p_ang):
+        r_s, r_t = divmod(int(r_flat), a_w)
+        for y in ys:
+            for x in xs:
+                sim_pos, ang_pos = oracle_block_match(
+                    match_p, r_s, r_t, int(y), int(x), sp
+                )
+                g = _gather(noisy_p, ang_pos, k)
+                spec = _forward(g, mats, sp)
+                if basic_p is None:
+                    keep = np.abs(spec) >= thr
+                    filt = spec * keep
+                    nnz = keep.sum(axis=(0, 1, 2, 3, 4))  # per channel
+                    weight = 1.0 / (sigma_c**2 * np.maximum(nnz, 1))
+                    weight = np.where(nnz > 0, weight, 1.0)
+                else:
+                    gb = _gather(basic_p, ang_pos, k)
+                    spec_b = _forward(gb, mats, sp)
+                    wien = spec_b**2 / (spec_b**2 + sigma_c**2)
+                    filt = spec * wien
+                    wsum = (wien**2).sum(axis=(0, 1, 2, 3, 4))
+                    weight = np.where(
+                        wsum > 0,
+                        1.0 / (sigma_c**2 * np.maximum(wsum, 1e-30)),
+                        1.0,
                     )
-                    g = _gather(noisy_p, ang_pos, k)
-                    spec = _forward(g, mats, sp)
-                    if basic_p is None:
-                        keep = np.abs(spec) >= thr
-                        filt = spec * keep
-                        nnz = keep.sum(axis=(0, 1, 2, 3, 4))  # per channel
-                        weight = 1.0 / (sigma_c**2 * np.maximum(nnz, 1))
-                        weight = np.where(nnz > 0, weight, 1.0)
-                    else:
-                        gb = _gather(basic_p, ang_pos, k)
-                        spec_b = _forward(gb, mats, sp)
-                        wien = spec_b**2 / (spec_b**2 + sigma_c**2)
-                        filt = spec * wien
-                        wsum = (wien**2).sum(axis=(0, 1, 2, 3, 4))
-                        weight = np.where(
-                            wsum > 0, 1.0 / (sigma_c**2 * np.maximum(wsum, 1e-30)), 1.0
-                        )
-                    est = _inverse(filt, mats, sp)
-                    if sp.use_sd:
-                        weight = _sd_weight(est)
-                    wk = weight[None, None, :] * kaiser  # [k, k, C]
-                    for j in range(est.shape[0]):
-                        for s in range(a_h):
-                            for t in range(a_w):
-                                yy, xx = ang_pos[j, s, t]
-                                num[s, t, yy : yy + k, xx : xx + k, :] += (
-                                    wk * est[j, s, t]
-                                )
-                                den[s, t, yy : yy + k, xx : xx + k, :] += wk
+                est = _inverse(filt, mats, sp)
+                if sp.use_sd:
+                    weight = _sd_weight(est)
+                wk = weight[None, None, :] * kaiser  # [k, k, C]
+                for j in range(est.shape[0]):
+                    for s in range(a_h):
+                        for t in range(a_w):
+                            yy, xx = ang_pos[j, s, t]
+                            num[s, t, yy : yy + k, xx : xx + k, :] += (
+                                wk * est[j, s, t]
+                            )
+                            den[s, t, yy : yy + k, xx : xx + k, :] += wk
     return num, den
 
 
@@ -282,11 +286,19 @@ def oracle_sr(lr_lf: np.ndarray, params) -> np.ndarray:
     only difference from pipeline.sr.run_sr is the filter arithmetic.
     params: lfbm5d_tpu.config.SRParams.
     """
+    import jax
     import jax.numpy as jnp
 
     from lfbm5d_tpu.config import DenoiseParams
     from lfbm5d_tpu.lf.resize import downsample, upsample
 
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "oracle_sr shares lf.resize's jax operators, which silently "
+            "downcast to float32 unless x64 is on; enable it first with "
+            'jax.config.update("jax_enable_x64", True) '
+            "(tests/conftest.py already does)"
+        )
     lr = np.asarray(lr_lf, dtype=np.float64)
     hr = np.asarray(upsample(jnp.asarray(lr), params.scale), dtype=np.float64)
     sigmas = np.linspace(params.sigma_init, params.sigma_final, params.n_iter)

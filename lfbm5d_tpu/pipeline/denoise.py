@@ -33,7 +33,7 @@ from jax import lax
 
 from lfbm5d_tpu.config import DenoiseParams, StepParams
 from lfbm5d_tpu.lf.color import channel_sigma_scales, rgb_to_space, space_to_rgb
-from lfbm5d_tpu.lf.pad import ind_initialize, pad_lf
+from lfbm5d_tpu.lf.pad import ind_initialize, pad_lf, ref_sai_grid
 from lfbm5d_tpu.ops.distances import (
     center_index,
     cross_argmin,
@@ -168,7 +168,9 @@ def _build_step(
             return (num, den), None
 
         init = (jnp.zeros_like(noisy_p), jnp.zeros_like(noisy_p))
-        (num, den), _ = lax.scan(ref_pass, init, jnp.arange(a))
+        (num, den), _ = lax.scan(
+            ref_pass, init, jnp.asarray(ref_sai_grid(a_h, a_w, sp.p_ang))
+        )
         return num, den
 
     return step
@@ -332,7 +334,8 @@ _LAUNCH_SLOT_LIMIT = 16_000_000
 def _step_slots(sp: StepParams, a_h, a_w, h, w) -> int:
     ys = ind_initialize(h, sp.k, sp.p)
     xs = ind_initialize(w, sp.k, sp.p)
-    return len(ys) * len(xs) * a_h * a_w * sp.n_sim
+    n_refs = len(ref_sai_grid(a_h, a_w, sp.p_ang))
+    return len(ys) * len(xs) * n_refs * sp.n_sim
 
 
 @lru_cache(maxsize=None)
@@ -340,6 +343,8 @@ def _launched_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
                        group_dtype):
     from lfbm5d_tpu.pipeline.engine import build_kernel_step
 
+    if a_h * a_w > 128:
+        group_dtype = None  # bf16 chain is fused-only; banked grids run f32
     raw = build_kernel_step(
         sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
         interpret=jax.default_backend() != "tpu",
@@ -423,7 +428,6 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
     if (
         eng.startswith("pallas")
         and jax.default_backend() == "tpu"
-        and a_h * a_w <= 128
         and max(
             _step_slots(params.ht, a_h, a_w, h, w),
             _step_slots(params.wiener, a_h, a_w, h, w),

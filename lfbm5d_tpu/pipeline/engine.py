@@ -48,7 +48,7 @@ from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
 from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
 from lfbm5d_tpu.kernels.extract import extract_groups
 from lfbm5d_tpu.kernels.fused import fused_group_step, fused_group_step_banked
-from lfbm5d_tpu.lf.pad import ind_initialize
+from lfbm5d_tpu.lf.pad import ind_initialize, ref_sai_grid
 from lfbm5d_tpu.ops.distances import (
     center_index,
     cross_argmin,
@@ -120,11 +120,11 @@ def build_kernel_step(
     if fused is None:
         # Default: single-bank grids only. The banked-fused kernel (up to
         # 3 banks, 1.3x the two-kernel path at 17x17) is proven on-chip in
-        # SEPARATE per-step programs, but the combined two-step program
-        # built by build_denoise_fn hits a compiled-schedule fault
-        # (DESIGN_NOTES) — so only the launched execution path opts into
-        # banked-fused (fused=True); everything else keeps the proven
-        # two-kernel banked path for >128 SAIs.
+        # SEPARATE per-step programs, but both the combined two-step program
+        # built by build_denoise_fn AND the launched (launch_blocks=1) form
+        # hit a compiled-schedule fault (DESIGN_NOTES bisect matrix) — so
+        # >128-SAI grids default to the proven two-kernel banked path
+        # everywhere; fused=True stays an explicit opt-in for debugging.
         fused = a <= _LANES
     if group_dtype is not None and not fused:
         raise ValueError("group_dtype requires the fused engine (a <= 128)")
@@ -201,17 +201,24 @@ def build_kernel_step(
     bw = _round_up(span_x, 8)
     assert bh < 2048 and bw < 2048  # packed y*2048+x slot origins
 
+    # --- reference-SAI set: p_ang > 1 subsamples which SAIs serve as
+    # reference (strided angular grid with boundary flush); groups still
+    # span/aggregate into every SAI, so only the scan length changes.
+    ref_sais = ref_sai_grid(a_h, a_w, sp.p_ang)
+    n_refs = len(ref_sais)
+    ref_sais_c = jnp.asarray(ref_sais)
+
     # --- reference-SAI batching: R refs share one scan pass; their group
     # slots ride the kernels' `refs` grid axis (band blocks revisited across
     # refs, cross-ref band accumulation in-kernel), dividing the per-step
     # dispatch count by R. The ref axis is padded to n_blocks*R with masked
     # dummy refs (zero weights).
     r_batch, _best = 1, None
-    for _rc in range(1, min(8, a) + 1):
-        _cost = _cdiv(a, _rc) * (_rc + 2.0)  # R BM units + dispatch weight 2
+    for _rc in range(1, min(8, n_refs) + 1):
+        _cost = _cdiv(n_refs, _rc) * (_rc + 2.0)  # R BM units + dispatch wt 2
         if _best is None or _cost < _best:
             r_batch, _best = _rc, _cost
-    n_blocks = _cdiv(a, r_batch)
+    n_blocks = _cdiv(n_refs, r_batch)
 
     # Fused-call tile batching: packed origins + lvl ride scalar prefetch,
     # and one (tile, ref) row costs cpt*(sc + gpc)*4 bytes of SMEM against a
@@ -362,11 +369,12 @@ def build_kernel_step(
         v1 = wp - k + 1
 
         def ref_pass(carry, idx):
-            """One pass over a block of R reference SAIs (idx: [R] raw
-            indices; entries >= A are masked dummies, clamped for BM)."""
+            """One pass over a block of R reference SAIs (idx: [R] positions
+            into the ref-SAI grid; entries >= n_refs are masked dummies,
+            clamped for BM)."""
             num, den = carry
-            valid = idx < a
-            rs = jnp.minimum(idx, a - 1)
+            valid = idx < n_refs
+            rs = ref_sais_c[jnp.minimum(idx, n_refs - 1)]
 
             # BM runs per ref in an inner scan, in the exact single-ref form
             # (batched/vmapped BM forms measured 1.5-1.6x slower on this

@@ -202,6 +202,41 @@ def test_unfused_banked_path_still_exact():
     assert np.abs(np.asarray(nx) - np.asarray(nt)).max() < 1e-9
 
 
+def test_p_ang_ref_subsampling_oracle_exact():
+    """p_ang > 1 (reference-SAI subsampling, the round-3 algorithmic
+    reformulation): both engines must match the f64 oracle exactly, and the
+    ref grid must keep the boundary-flush semantics (3x3 grid at p_ang=2 ->
+    corners+edges+center = 2x2 ref grid positions {0,2})."""
+    from lfbm5d_tpu.lf.pad import ref_sai_grid
+    from lfbm5d_tpu.oracle import oracle_denoise
+
+    np.testing.assert_array_equal(ref_sai_grid(3, 3, 2), [0, 2, 6, 8])
+    np.testing.assert_array_equal(ref_sai_grid(3, 3, 1), np.arange(9))
+    np.testing.assert_array_equal(ref_sai_grid(4, 3, 3), [0, 2, 9, 11])
+
+    tiny2 = dict(TINY, p_ang=2)
+    p = DenoiseParams(
+        sigma=20.0,
+        ht=StepParams(tau_match=2500.0, **tiny2),
+        wiener=StepParams(tau_match=400.0, **tiny2),
+        chunk=32,
+    )
+    clean = synthetic_lf(3, 3, 20, 24, channels=1, seed=10)
+    noisy = add_noise_np(clean, 20.0, seed=11)
+    ob, of = oracle_denoise(noisy, p)
+    bx, fx = run_bm5d(noisy, p, dtype="float64", engine="xla")
+    bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
+    assert np.abs(ob - np.asarray(bx)).max() < 1e-9
+    assert np.abs(of - np.asarray(fx)).max() < 1e-9
+    assert np.abs(ob - np.asarray(bp)).max() < 1e-9
+    assert np.abs(of - np.asarray(fp)).max() < 1e-9
+    # subsampled refs still cover every SAI's output (den > 0 everywhere
+    # away from boundary effects): the denoised LF must beat noisy PSNR
+    assert psnr(np.clip(np.asarray(fp), 0, 255), clean) > psnr(
+        np.clip(noisy, 0, 255), clean
+    )
+
+
 def test_banked_fused_engine_exact_f64_experimental():
     """EXPERIMENTAL banked-fused kernel (one program across 128-lane banks,
     probed in experiments/fused_banked_probe.py): f64-exact vs the XLA path
