@@ -102,6 +102,28 @@ def main():
         f"noisy {p_noisy:.2f}",
     )
 
+    # --- 4. banked-fused engine on a >128-SAI grid (the round-2 crash
+    # case: 12x12x48x64 through run_bm5d faulted the worker when the two
+    # steps were composed into one program; the per-step-jit routing must
+    # hold on-chip) ---
+    tiny_b = dict(n_sim=4, n_search=2, n_disp=1, k=8, p=4)
+    pb = DenoiseParams(
+        sigma=25.0,
+        ht=StepParams(tau_match=2500.0, **tiny_b),
+        wiener=StepParams(tau_match=400.0, **tiny_b),
+        chunk=64,
+    )
+    clean_b = synthetic_lf(12, 12, 48, 64, channels=1, seed=2)
+    noisy_b = add_noise_np(clean_b, 25.0, seed=3)
+    try:
+        _, fin_b = run_bm5d(noisy_b, pb, engine="pallas")
+        ps_b = psnr(np.clip(np.asarray(fin_b), 0, 255), clean_b)
+        ps_n = psnr(np.clip(noisy_b, 0, 255), clean_b)
+        check("banked-fused 12x12 e2e", ps_b > ps_n + 3.0,
+              f"psnr {ps_n:.2f} -> {ps_b:.2f}")
+    except Exception as e:
+        check("banked-fused 12x12 e2e", False, f"{type(e).__name__}: {e}")
+
     print("SMOKE:", "PASS" if not FAILED else f"FAIL ({FAILED})")
     return 0 if not FAILED else 1
 

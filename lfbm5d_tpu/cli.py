@@ -53,6 +53,10 @@ def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
                    help="patch size k (default 8)")
     g.add_argument(f"--{prefix}-p", type=int, default=None,
                    help="reference-patch step p (default 3)")
+    g.add_argument(f"--{prefix}-pang", type=int, default=None,
+                   help="reference-SAI grid step (default 1 = every SAI "
+                   "serves as reference, the reference semantics; >1 "
+                   "subsamples the reference role, ~p_ang^2 less work)")
     g.add_argument(f"--{prefix}-tau2d", default=None,
                    choices=["dct", "bior"], help="default dct")
     g.add_argument(f"--{prefix}-tau4d", default=None,
@@ -72,7 +76,7 @@ _PRESETS = {
 }
 
 _STEP_DEFAULTS = dict(
-    nsim=16, nsearch=16, ndisp=2, k=8, p=3, tau2d="dct", tau4d="dct",
+    nsim=16, nsearch=16, ndisp=2, k=8, p=3, pang=1, tau2d="dct", tau4d="dct",
     tau5d="haar", usesd=False,
 )
 
@@ -90,8 +94,9 @@ def _step_params(ns, prefix: str, tau_default: float) -> StepParams:
 
     return StepParams(
         n_sim=g("nsim"), n_search=g("nsearch"), n_disp=g("ndisp"),
-        k=g("k"), p=g("p"), tau_2d=g("tau2d"), tau_4d=g("tau4d"),
-        tau_5d=g("tau5d"), tau_match=g("taumatch"), use_sd=g("usesd"),
+        k=g("k"), p=g("p"), p_ang=g("pang"), tau_2d=g("tau2d"),
+        tau_4d=g("tau4d"), tau_5d=g("tau5d"), tau_match=g("taumatch"),
+        use_sd=g("usesd"),
     )
 
 

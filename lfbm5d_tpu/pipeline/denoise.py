@@ -410,6 +410,60 @@ def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype):
     return basic, final
 
 
+@lru_cache(maxsize=None)
+def _banked_fused_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype):
+    from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+    raw = build_kernel_step(
+        sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
+        interpret=jax.default_backend() != "tpu", fused=True,
+    )
+    if wiener:
+        return jax.jit(raw)
+    return jax.jit(lambda np_, mp_, sc_: raw(np_, mp_, sc_, None))
+
+
+def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype):
+    """Two-step pipeline for >128-SAI grids through the BANKED-FUSED kernel.
+
+    Deliberately structured as SEPARATE per-step jit programs with the
+    color/pad/finalize glue dispatched eagerly between them: the round-2
+    bisect matrix (docs/DESIGN_NOTES.md) showed the banked-fused kernel is
+    exact and stable in hand-built per-step programs (17x17x128x128 at
+    0.178 Mpix/s), while the same steps composed into one program by
+    build_denoise_fn compile to schedules that fault the TPU worker.
+    """
+    dt = jnp.dtype(dtype)
+    a_h, a_w, h, w, c = lf.shape
+    x = jnp.asarray(lf, dt)
+    use_color = c == 3 and params.color_space != "rgb"
+    if use_color:
+        from lfbm5d_tpu.lf.color import color_matrix
+
+        m = np.asarray(color_matrix(params.color_space))
+        mi = jnp.asarray(np.linalg.inv(m), dt)
+        x = x @ jnp.asarray(m, dt).T
+    sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+
+    ht = _banked_fused_step_jit(
+        params.ht, params.lambda_3d, a_h, a_w, h, w, c, False, dtype
+    )
+    wn = _banked_fused_step_jit(
+        params.wiener, 0.0, a_h, a_w, h, w, c, True, dtype
+    )
+    xp = _flat_pad(x, params.ht.pad)
+    num, den = ht(xp, xp, sigma_c)
+    basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c)
+    xp2 = _flat_pad(x, params.wiener.pad)
+    bp = _flat_pad(basic, params.wiener.pad)
+    num, den = wn(xp2, bp, sigma_c, bp)
+    final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c)
+    if use_color:
+        basic = basic @ mi.T
+        final = final @ mi.T
+    return basic, final
+
+
 def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
              engine: str = "auto"):
     """Full two-step pipeline. noisy_lf: [aH,aW,H,W,C] RGB/gray in [0,255].
@@ -437,6 +491,15 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
             lf, params, dtype,
             "bfloat16" if eng == "pallas_bf16" else None,
         )
+    if (
+        eng.startswith("pallas")
+        and jax.default_backend() == "tpu"
+        and 128 < a_h * a_w <= 384
+    ):
+        # banked grids (e.g. 17x17 HCI): per-step jit programs through the
+        # banked-FUSED kernel (1.3x the two-kernel path; the one-program
+        # composed form faults the TPU worker, docs/DESIGN_NOTES.md)
+        return _run_bm5d_banked_fused(lf, params, dtype)
     fn = _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, eng)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     return fn(lf, sigma_c)

@@ -237,6 +237,32 @@ def test_p_ang_ref_subsampling_oracle_exact():
     )
 
 
+def test_banked_fused_runner_matches_xla_f64():
+    """_run_bm5d_banked_fused (per-step jits around the banked-FUSED
+    kernel, the on-TPU routing for 129..384-SAI grids) must reproduce the
+    XLA path exactly in f64, including the color/pad/finalize glue it
+    dispatches between the step programs."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import _run_bm5d_banked_fused
+
+    tiny = dict(n_sim=4, n_search=2, n_disp=1, k=4, p=3)
+    p = DenoiseParams(
+        sigma=20.0,
+        ht=StepParams(tau_match=2500.0, **tiny),
+        wiener=StepParams(tau_match=400.0, **tiny),
+        chunk=32,
+    )
+    clean = synthetic_lf(12, 12, 14, 14, channels=3, seed=14)  # 144 SAIs
+    noisy = add_noise_np(clean, 20.0, seed=15)
+    bx, fx = run_bm5d(noisy, p, dtype="float64", engine="xla")
+    bb, fb = _run_bm5d_banked_fused(
+        jnp.asarray(noisy, jnp.float64), p, "float64"
+    )
+    assert np.abs(np.asarray(bx) - np.asarray(bb)).max() < 1e-9
+    assert np.abs(np.asarray(fx) - np.asarray(fb)).max() < 1e-9
+
+
 def test_banked_fused_engine_exact_f64_experimental():
     """EXPERIMENTAL banked-fused kernel (one program across 128-lane banks,
     probed in experiments/fused_banked_probe.py): f64-exact vs the XLA path

@@ -114,15 +114,17 @@ def test_sr_x3_and_x4_beat_bicubic():
 
 
 def test_sr_decimation_blur_model():
-    """The anti-aliased decimation model (Gaussian pre-blur) runs and stays
-    in the same quality band as the box model; the quantitative comparison
-    on a full-scale LF is recorded in BASELINE.md."""
+    """When the true degradation includes a Gaussian pre-blur, the MATCHED
+    anti-aliased IBP model must beat the plain box model (it measured
+    +1.7 dB at 3x3x48x64 and the full-scale comparison is in BASELINE.md);
+    a no-op blur path would fail this margin."""
     import jax.numpy as jnp
 
-    clean = synthetic_lf(2, 2, 32, 32, channels=1, disp_bg=1, seed=6)
+    clean = synthetic_lf(3, 3, 48, 64, channels=1, disp_bg=1, disp_fg=2,
+                         seed=6)
     lr = np.asarray(downsample(jnp.asarray(clean), 2, blur_sigma=0.8))
     base = SRParams(
-        scale=2, n_iter=2, sigma_init=6.0, sigma_final=2.0,
+        scale=2, n_iter=3, sigma_init=8.0, sigma_final=2.0,
         ht=StepParams(tau_match=2500.0, **TINY),
         wiener=StepParams(tau_match=400.0, **TINY), chunk=32,
     )
@@ -130,9 +132,7 @@ def test_sr_decimation_blur_model():
     hr_blur = np.asarray(run_sr(lr, base.replace(decimation_blur=0.8)))
     p_box = psnr(np.clip(hr_box, 0, 255), clean)
     p_blur = psnr(np.clip(hr_blur, 0, 255), clean)
-    # when the true degradation includes the blur, the matched model must
-    # not be significantly worse
-    assert p_blur > p_box - 0.5, (p_box, p_blur)
+    assert p_blur > p_box + 0.5, (p_box, p_blur)
 
 
 def test_sr_pipeline_matches_oracle_f64():
