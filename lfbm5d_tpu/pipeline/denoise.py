@@ -324,11 +324,13 @@ def _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, engine):
 
 
 # Ref-slot count above which a step runs as MULTIPLE device launches (one
-# ref-block each, device-resident accumulators). A single program covering a
-# full-size default-parameter step (~38M slots/step) faults the device
-# (UNAVAILABLE after minutes of execution); bounded launches also bound peak
-# transients. The fast-preset 9x9 (~4.9M slots/step) stays single-program.
-_LAUNCH_SLOT_LIMIT = 16_000_000
+# ref-block each, device-resident accumulators). Single programs running
+# more than ~1 minute on this TPU fault with UNAVAILABLE: a full-size
+# default-parameter step (~38M slots) always did, and a 9x9 flagship
+# p_ang=2 step (~11.8M slots, ~35 s/step) faulted in round 3 — so the
+# bound sits just above the proven-stable fast-preset 9x9 (~4.9M slots,
+# ~12 s/step). Bounded launches also bound peak transients.
+_LAUNCH_SLOT_LIMIT = 6_000_000
 
 
 def _step_slots(sp: StepParams, a_h, a_w, h, w) -> int:
