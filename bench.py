@@ -73,8 +73,9 @@ def main():
         step = dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
     elif args.preset == "matched":
         # fastest preset measured <= 0.05 dB below reference-default PSNR
-        # at the 9x9 flagship shape (BASELINE.md round-3 knee sweep)
-        step = dict(n_sim=16, n_search=8, n_disp=2, k=8, p=4)
+        # at the 9x9 flagship shape (BASELINE.md round-3 knee sweep:
+        # 28.367 vs 28.416 dB at 434x625, 6.35x the default's speed)
+        step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=4, p_ang=2)
     else:
         step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
     params = DenoiseParams(

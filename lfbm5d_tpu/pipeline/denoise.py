@@ -481,27 +481,32 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
         lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
     a_h, a_w, h, w, c = lf.shape
     eng = _resolve_engine(engine, a_h * a_w)
-    if (
-        eng.startswith("pallas")
-        and jax.default_backend() == "tpu"
-        and max(
-            _step_slots(params.ht, a_h, a_w, h, w),
-            _step_slots(params.wiener, a_h, a_w, h, w),
-        ) > _LAUNCH_SLOT_LIMIT
+    max_slots = max(
+        _step_slots(params.ht, a_h, a_w, h, w),
+        _step_slots(params.wiener, a_h, a_w, h, w),
+    )
+    on_tpu_pallas = (
+        eng.startswith("pallas") and jax.default_backend() == "tpu"
+    )
+    banked = 128 < a_h * a_w
+    if on_tpu_pallas and banked and a_h * a_w <= 384 and (
+        max_slots <= 2_000_000
+    ):
+        # small banked grids: per-step jit programs through the banked-FUSED
+        # kernel (proven on-chip by tpu_smoke case 4 at 12x12x48x64). At
+        # 17x17x128x128 RGB (7.8M slots, 3 banks) this form STILL faults the
+        # worker (round-3 measurement, docs/DESIGN_NOTES.md), so bigger
+        # banked configs take the round-2-proven two-kernel path below.
+        return _run_bm5d_banked_fused(lf, params, dtype)
+    if on_tpu_pallas and max_slots > (
+        # banked single programs are proven to ~35 s (17x17x128x128 round
+        # 2); only genuinely huge banked steps take the launched path
+        12_000_000 if banked else _LAUNCH_SLOT_LIMIT
     ):
         return _run_bm5d_launched(
             lf, params, dtype,
             "bfloat16" if eng == "pallas_bf16" else None,
         )
-    if (
-        eng.startswith("pallas")
-        and jax.default_backend() == "tpu"
-        and 128 < a_h * a_w <= 384
-    ):
-        # banked grids (e.g. 17x17 HCI): per-step jit programs through the
-        # banked-FUSED kernel (1.3x the two-kernel path; the one-program
-        # composed form faults the TPU worker, docs/DESIGN_NOTES.md)
-        return _run_bm5d_banked_fused(lf, params, dtype)
     fn = _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, eng)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     return fn(lf, sigma_c)
