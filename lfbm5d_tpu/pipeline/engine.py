@@ -218,6 +218,13 @@ def build_kernel_step(
         _cost = _cdiv(n_refs, _rc) * (_rc + 2.0)  # R BM units + dispatch wt 2
         if _best is None or _cost < _best:
             r_batch, _best = _rc, _cost
+    # SMEM cap: ONE (tile, ref-batch) worth of prefetch rows must fit the
+    # 1MB SMEM budget even at tiles_per_batch=1 — Mosaic roughly doubles the
+    # raw prefetch bytes. 17x17x128x128 RGB default overflowed at r_batch=8
+    # (1.41M of 1.00M, accumulate kernel); tiles_per_batch cannot go below
+    # one, so the ref batch is the only remaining knob.
+    while r_batch > 1 and (2 + c) * cpt * sc * 4 * banks * r_batch > 330_000:
+        r_batch -= 1
     n_blocks = _cdiv(n_refs, r_batch)
 
     # Fused-call tile batching: packed origins + lvl ride scalar prefetch,

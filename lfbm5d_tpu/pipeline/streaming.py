@@ -9,6 +9,8 @@ requested by the caller.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +19,44 @@ from jax import shard_map
 
 from lfbm5d_tpu.config import DenoiseParams
 from lfbm5d_tpu.pipeline.denoise import _sigma_channels, build_denoise_fn
+
+
+@lru_cache(maxsize=None)
+def _jit_per_lf(fn):
+    """Cache jit wrappers across denoise_batch calls: a fresh jax.jit(fn)
+    per call re-TRACES on its first use (~0.5-1 s), which measured as a
+    +23-45%% per-LF overhead in the round-3 streaming bench."""
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _jit_vmapped(fn):
+    return jax.jit(jax.vmap(fn, in_axes=(0, None)))
+
+
+@lru_cache(maxsize=None)
+def _jit_one_per_device(fn, mesh, axis):
+    def one_per_device(shard, sigma_c):
+        basic, final = fn(shard[0], sigma_c)
+        return basic[None], final[None]
+
+    return jax.jit(shard_map(
+        one_per_device, mesh=mesh, in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)), check_vma=False,
+    ))
+
+
+@lru_cache(maxsize=None)
+def _jit_sharded_vmap(fn, mesh, axis):
+    # check_vma=False: the per-LF pipeline uses no collectives, and its
+    # scan carries are initialized replicated (vma tracking rejects them).
+    return jax.jit(shard_map(
+        jax.vmap(fn, in_axes=(0, None)),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    ))
 
 
 def denoise_batch(
@@ -51,13 +91,13 @@ def denoise_batch(
 
     if mesh is None:
         if kernel_engine:
-            jfn = jax.jit(fn)
+            jfn = _jit_per_lf(fn)
             outs = [jfn(lfs[i], sigma_c) for i in range(b)]
             return (
                 jnp.stack([o[0] for o in outs]),
                 jnp.stack([o[1] for o in outs]),
             )
-        return jax.jit(jax.vmap(lambda lf: fn(lf, sigma_c)))(lfs)
+        return _jit_vmapped(fn)(lfs, sigma_c)
 
     (axis,) = mesh.axis_names
     if b % mesh.size:
@@ -65,33 +105,17 @@ def denoise_batch(
 
     if kernel_engine:
         # one LF per device per call; host loop over B / mesh.size chunks
-        def one_per_device(shard):
-            basic, final = fn(shard[0], sigma_c)
-            return basic[None], final[None]
-
-        sharded_one = jax.jit(shard_map(
-            one_per_device, mesh=mesh, in_specs=P(axis),
-            out_specs=(P(axis), P(axis)), check_vma=False,
-        ))
+        sharded_one = _jit_one_per_device(fn, mesh, axis)
         outs = []
         for j in range(0, b, mesh.size):
             chunk = jax.device_put(
                 lfs[j : j + mesh.size], NamedSharding(mesh, P(axis))
             )
-            outs.append(sharded_one(chunk))
+            outs.append(sharded_one(chunk, sigma_c))
         return (
             jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]),
         )
 
-    # check_vma=False: the per-LF pipeline uses no collectives, and its scan
-    # carries are initialized replicated (vma tracking would reject them).
-    sharded = shard_map(
-        jax.vmap(lambda lf: fn(lf, sigma_c)),
-        mesh=mesh,
-        in_specs=P(axis),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False,
-    )
     lfs = jax.device_put(lfs, NamedSharding(mesh, P(axis)))
-    return jax.jit(sharded)(lfs)
+    return _jit_sharded_vmap(fn, mesh, axis)(lfs, sigma_c)
