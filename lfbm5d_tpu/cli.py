@@ -73,6 +73,10 @@ _PRESETS = {
     "default": {},
     # throughput preset: coarser reference grid, smaller windows
     "fast": dict(nsim=8, nsearch=8, ndisp=2, p=6),
+    # fastest preset measured within 0.05 dB of reference-default PSNR at
+    # the 9x9 flagship shape (BASELINE.md round-3 knee sweep: -0.049 dB at
+    # 6.35x the default's speed)
+    "matched": dict(nsim=16, nsearch=16, ndisp=2, p=4, pang=2),
 }
 
 _STEP_DEFAULTS = dict(

@@ -499,9 +499,10 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
         # banked configs take the round-2-proven two-kernel path below.
         return _run_bm5d_banked_fused(lf, params, dtype)
     if on_tpu_pallas and max_slots > (
-        # banked single programs are proven to ~35 s (17x17x128x128 round
-        # 2); only genuinely huge banked steps take the launched path
-        12_000_000 if banked else _LAUNCH_SLOT_LIMIT
+        # a 17x17x128x128 default single program (7.8M slots) faulted at
+        # runtime in round 3 even after the SMEM clamp — banked grids
+        # above the banked-fused bound go straight to launched two-kernel
+        2_000_000 if banked else _LAUNCH_SLOT_LIMIT
     ):
         return _run_bm5d_launched(
             lf, params, dtype,

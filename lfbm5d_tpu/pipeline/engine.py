@@ -61,6 +61,12 @@ from lfbm5d_tpu.transforms.flat import FlatTransforms, forward_flat, inverse_fla
 
 _LANES = 128
 
+# A/B switch for the angular-table row-gather width (live width, e.g. 88
+# for 9x9, vs the full 128-lane pad). The round-2 live-width change was
+# never validated end-to-end; the round-3 launched profile put this gather
+# at 40% of default-parameter device time, so it is being re-measured.
+_ANG_TABLE_FULL_WIDTH = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -310,7 +316,10 @@ def build_kernel_step(
     # lane width (a rounded to sublanes, e.g. 88 for 9x9) and the fused
     # branch pads to the kernel's 128 lanes per tile range. Banked grids
     # need the full bank structure, so they keep a_pad.
-    ang_w = a_pad if banks > 1 else max(8, _round_up(a, 8))
+    if _ANG_TABLE_FULL_WIDTH or banks > 1:
+        ang_w = a_pad
+    else:
+        ang_w = max(8, _round_up(a, 8))
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
