@@ -105,3 +105,18 @@ def test_preset_merge_explicit_flag_wins():
     assert sp.n_search == 8
     assert sp.tau_match == 2500.0  # documented default fills last
     assert sp.tau_2d == "dct" and sp.use_sd is False
+
+
+def test_matched_preset_is_the_measured_one():
+    """The CLI 'matched' preset must stay in sync with the knee-sweep
+    winner recorded in BASELINE.md (N16 n16 p4 p_ang=2, -0.049 dB at the
+    flagship shape)."""
+    import argparse
+
+    from lfbm5d_tpu.cli import _step_args, _step_params
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="matched")
+    _step_args(ap, "ht", 2500.0)
+    sp = _step_params(ap.parse_args([]), "ht", 2500.0)
+    assert (sp.n_sim, sp.n_search, sp.p, sp.p_ang) == (16, 16, 4, 2)
