@@ -47,6 +47,7 @@ from lfbm5d_tpu.config import StepParams
 from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
 from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
 from lfbm5d_tpu.kernels.extract import extract_groups
+from lfbm5d_tpu.kernels.gather import gather_rows
 from lfbm5d_tpu.kernels.fused import fused_group_step, fused_group_step_banked
 from lfbm5d_tpu.lf.pad import ind_initialize, ref_sai_grid
 from lfbm5d_tpu.ops.distances import (
@@ -316,7 +317,16 @@ def build_kernel_step(
     # lane width (a rounded to sublanes, e.g. 88 for 9x9) and the fused
     # branch pads to the kernel's 128 lanes per tile range. Banked grids
     # need the full bank structure, so they keep a_pad.
-    if _ANG_TABLE_FULL_WIDTH or banks > 1:
+    #
+    # Round 3: in compiled mode the BM-map sampling runs through the
+    # pipelined-DMA row-gather kernel (kernels/gather.py) — XLA lowers the
+    # traced-index row gather at ~0.3 GB/s (490 ms/ref, 40% of launched
+    # device time at default parameters) while the same-shape STATIC-index
+    # gather runs 52 ms, and table width 88 vs 128 measured identical.
+    # The kernel needs a lane-aligned table, so compiled mode always uses
+    # the full a_pad width.
+    use_dma_gather = not interpret
+    if use_dma_gather or _ANG_TABLE_FULL_WIDTH or banks > 1:
         ang_w = a_pad
     else:
         ang_w = max(8, _round_up(a, 8))
@@ -425,9 +435,14 @@ def build_kernel_step(
                 ).T  # [V, ang_w]
                 bidx_f = lax.optimization_barrier(bidx_f)
                 fp = (sy * stride + sx).reshape(-1)  # [T*N]
-                an = jnp.take(bidx_f, fp, axis=0).reshape(
-                    t_count, n_sim, ang_w
-                )
+                if use_dma_gather:
+                    an = gather_rows(bidx_f, fp).reshape(
+                        t_count, n_sim, ang_w
+                    )
+                else:
+                    an = jnp.take(bidx_f, fp, axis=0).reshape(
+                        t_count, n_sim, ang_w
+                    )
                 an = jnp.where(
                     jnp.arange(ang_w)[None, None, :] == ri, c_ang, an
                 )
