@@ -26,6 +26,112 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 @lru_cache(maxsize=None)
+def _build_doff(n_tiles: int, refs: int, cpt: int, sc: int, bh: int, bw: int,
+                th: int, tw: int, l: int, c_ang: int, interpret: bool):
+    n_meta = n_tiles * refs
+
+    def kernel(org_ref, rs_ref, qyx_ref, tab_ref, out_ref, slab, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        t = i // refs
+        r = i % refs
+        toy = org_ref[t, 0]
+        tox = org_ref[t, 1]
+
+        # one slab DMA per (tile, ref): the tile's band region of ref r's
+        # disparity table, at the STATIC band origin (contiguous rows at
+        # full HBM bandwidth — the whole point vs the per-row gather)
+        @pl.when(j == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                tab_ref.at[r, pl.ds(toy, bh), pl.ds(tox, bw), :], slab, sem
+            )
+            cp.start()
+            cp.wait()
+
+        rsai = rs_ref[r]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)
+
+        def body(s, _):
+            v = qyx_ref[0, j, s]
+            qy = v // 2048
+            qx = v - qy * 2048
+            # clamp binds only for pad/dummy slots, whose rows are either
+            # masked to the sentinel (fused) or zero-weighted (two-kernel)
+            dy = jnp.clip(qy - toy, 0, bh - 1)
+            dx = jnp.clip(qx - tox, 0, bw - 1)
+            row = slab[pl.ds(dy, 1), pl.ds(dx, 1), :].reshape(1, l)
+            # the reference SAI's own lane always holds the centered
+            # disparity (engine.py ref_pass: an[..., ri] = c_ang)
+            row = jnp.where(lane == rsai, c_ang, row)
+            out_ref[0, 0, pl.ds(s, 1), :] = row
+            return 0
+
+        jax.lax.fori_loop(0, sc, body, 0)
+
+    def call(origins, ref_sais, qyx, tables):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_meta, cpt),
+            in_specs=[
+                pl.BlockSpec((n_tiles, 2), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((refs,), lambda i, j: (0,),
+                             memory_space=pltpu.SMEM),
+                # full last-two dims (cpt, sc): Mosaic requires SMEM block
+                # trailing dims divisible by (8, 128) or equal to the array
+                # dims; one (tile, ref)'s whole slot table is a few KB
+                pl.BlockSpec((1, cpt, sc), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, sc, l), lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_meta, cpt, sc, l), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((bh, bw, l), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(origins, ref_sais, qyx, tables)
+
+    return call
+
+
+def sample_doff(tables, qyx, origins, ref_sais, *, bh: int, bw: int,
+                c_ang: int, interpret: bool = False):
+    """Sample per-ref disparity tables directly into tile-layout doff.
+
+    The engine's BM-map sampling is a gather of one [1, L] table row per
+    (slot, ref): XLA lowers the traced-index form at ~0.5 GB/s (40% of
+    default-parameter flagship device time, BASELINE.md launched profile),
+    and per-row DMAs pay issue latency (gather_rows above measured 0.7x
+    XLA). This kernel instead DMAs each tile's whole band region of the
+    table once (contiguous, bandwidth-bound) and reads per-slot rows from
+    VMEM with the same dynamic-slice idiom as the fused kernel's extract.
+
+    tables:   [R, TH, TW, L] int32 per-ref disparity maps, padded so that
+              every tile band [toy:toy+bh, tox:tox+bw] is in bounds and
+              dead lanes carry c_ang.
+    qyx:      [n_tiles*R, cpt, sc] int32 packed ABSOLUTE similar-patch
+              positions (qy * 2048 + qx).
+    origins:  [n_tiles, 2] int32 tile band origins (toy, tox).
+    ref_sais: [R] int32 SAI index of each reference in the block.
+    Returns [n_tiles*R, cpt, sc, L] int32 — the kernels' doff layout.
+    """
+    r, th, tw, l = tables.shape
+    n_meta, cpt, sc = qyx.shape
+    n_tiles = n_meta // r
+    assert n_meta == n_tiles * r
+    assert interpret or l % 128 == 0
+    assert th >= bh and tw >= bw
+    fn = _build_doff(n_tiles, r, cpt, sc, bh, bw, th, tw, l, c_ang,
+                     interpret)
+    return fn(origins.astype(jnp.int32), ref_sais.astype(jnp.int32),
+              qyx.astype(jnp.int32), tables)
+
+
+@lru_cache(maxsize=None)
 def _build(V: int, W: int, S_pad: int, s_chunk: int, depth: int, dtype: str,
            interpret: bool = False):
     n_chunks = S_pad // s_chunk

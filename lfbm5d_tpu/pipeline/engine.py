@@ -36,6 +36,7 @@ reassociation in the transforms; f64 interpret mode is oracle-exact.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -47,7 +48,7 @@ from lfbm5d_tpu.config import StepParams
 from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
 from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
 from lfbm5d_tpu.kernels.extract import extract_groups
-from lfbm5d_tpu.kernels.gather import gather_rows
+from lfbm5d_tpu.kernels.gather import gather_rows, sample_doff
 from lfbm5d_tpu.kernels.fused import fused_group_step, fused_group_step_banked
 from lfbm5d_tpu.lf.pad import ind_initialize, ref_sai_grid
 from lfbm5d_tpu.ops.distances import (
@@ -95,6 +96,7 @@ def build_kernel_step(
     fused: bool | None = None,
     group_dtype: str | None = None,
     launch_blocks: int | None = None,
+    doff_mode: str = "",
 ):
     """Returns raw fn(noisy_p, match_p, sigma_c, basic_p) -> (num, den).
 
@@ -271,6 +273,9 @@ def build_kernel_step(
     disp_self = jnp.asarray(displacements(n))
     tile_oy_c = jnp.asarray(tile_oy)
     tile_ox_c = jnp.asarray(tile_ox)
+    origins_c = jnp.asarray(
+        np.stack([tile_oy, tile_ox], axis=1).astype(np.int32)
+    )  # [nT, 2] band origins for the direct doff sampler
     # flat slot index per (tile, chunk, slot): group_id * N + n — static, so
     # all per-ref-SAI slot metadata is fetched with ONE fast row-gather in
     # tile order instead of per-tile advanced indexing (XLA's generic gather
@@ -318,15 +323,24 @@ def build_kernel_step(
     # branch pads to the kernel's 128 lanes per tile range. Banked grids
     # need the full bank structure, so they keep a_pad.
     #
-    # Round 3: in compiled mode the BM-map sampling runs through the
-    # pipelined-DMA row-gather kernel (kernels/gather.py) — XLA lowers the
-    # traced-index row gather at ~0.3 GB/s (490 ms/ref, 40% of launched
-    # device time at default parameters) while the same-shape STATIC-index
-    # gather runs 52 ms, and table width 88 vs 128 measured identical.
-    # The kernel needs a lane-aligned table, so compiled mode always uses
-    # the full a_pad width.
-    use_dma_gather = not interpret
-    if use_dma_gather or _ANG_TABLE_FULL_WIDTH or banks > 1:
+    # Round 3: the BM-map sampling (XLA lowers the traced-index row gather
+    # at ~0.5 GB/s — 40% of launched device time at default parameters,
+    # BASELINE.md profile) has three implementations, selected by
+    # LFBM5D_DOFF_MODE:
+    #   direct (compiled default) — kernels/gather.py sample_doff: per-tile
+    #     band-slab DMA + in-kernel per-slot reads, produces doff in tile
+    #     layout directly (skips the an/ang_p intermediate entirely);
+    #   take — the original jnp.take row-gather (interpret default: its
+    #     summation/selection order is what the f64 oracle tests pin);
+    #   dma — the per-row pipelined-DMA kernel (gather_rows; measured 0.7x
+    #     jnp.take standalone — kept for A/B).
+    _mode = doff_mode or os.environ.get("LFBM5D_DOFF_MODE", "")
+    if interpret:
+        use_direct = _mode == "direct"
+    else:
+        use_direct = _mode not in ("take", "dma")
+    use_dma_gather = (not interpret) and _mode == "dma"
+    if use_direct or use_dma_gather or _ANG_TABLE_FULL_WIDTH or banks > 1:
         ang_w = a_pad
     else:
         ang_w = max(8, _round_up(a, 8))
@@ -425,6 +439,20 @@ def build_kernel_step(
 
                     _, bidx = lax.scan(per_a, 0, jnp.arange(a))  # [A,V0,V1]
                     stride = v1
+                if use_direct:
+                    # Pixel-coordinate [V0, V1, lanes] table, padded to the
+                    # band cover [hp2, wp2]: sample_doff DMAs each tile's
+                    # band region once and reads per-slot rows in VMEM, so
+                    # the an/ang_p intermediates never materialize and the
+                    # ~0.5 GB/s traced row-gather disappears.
+                    t3 = jnp.transpose(bidx, (1, 2, 0))[:hp2, :wp2, :]
+                    t3 = jnp.pad(
+                        t3,
+                        ((0, hp2 - t3.shape[0]), (0, wp2 - t3.shape[1]),
+                         (0, a_pad - a)),
+                        constant_values=c_ang,
+                    )
+                    return _, (sy, sx, lv, mk, lax.optimization_barrier(t3))
                 # Pad the angular axis to the lane width on the MAJOR dim
                 # before transposing (a minor-dim pad afterwards measured
                 # ~1 GB/s), then ONE row-gather at the similar-patch
@@ -464,10 +492,12 @@ def build_kernel_step(
             mask_p = jnp.concatenate(
                 [mask, jnp.zeros((r_batch, 1, n_sim), bool)], axis=1
             )
-            ang_p = jnp.concatenate(
-                [ang, jnp.full((r_batch, 1, n_sim, ang_w), c_ang, ang.dtype)],
-                axis=1,
-            )
+            if not use_direct:
+                ang_p = jnp.concatenate(
+                    [ang, jnp.full((r_batch, 1, n_sim, ang_w), c_ang,
+                                   ang.dtype)],
+                    axis=1,
+                )
 
             # one row-gather per ref-BLOCK fetches every (tile, ref) slot's
             # metadata (the gather tables carry per-ref offsets)
@@ -477,13 +507,23 @@ def build_kernel_step(
             qx_all = jnp.take(sim_x_p.reshape(-1), slot_flat_c).reshape(
                 n_tiles, r_batch, cpt, sc
             )
+            if use_direct:
+                rs_i32 = rs.astype(jnp.int32)
+                qyx_pack = (qy_all * 2048 + qx_all).astype(jnp.int32)
             if not fused:
                 # fused path gathers doff per tile RANGE inside its scan:
                 # the all-tile table is [nT, R, cpt, sc, L] — 3.1 GB at 9x9
                 # defaults, a main contributor to the HBM OOM device fault
-                doff_all = jnp.take(
-                    ang_p.reshape(-1, ang_w), slot_flat_c, axis=0
-                ).reshape(n_tiles, r_batch, cpt, sc, ang_w)
+                if use_direct:
+                    doff_all = sample_doff(
+                        ang, qyx_pack.reshape(n_tiles * r_batch, cpt, sc),
+                        origins_c, rs_i32, bh=bh, bw=bw, c_ang=c_ang,
+                        interpret=interpret,
+                    ).reshape(n_tiles, r_batch, cpt, sc, ang_w)
+                else:
+                    doff_all = jnp.take(
+                        ang_p.reshape(-1, ang_w), slot_flat_c, axis=0
+                    ).reshape(n_tiles, r_batch, cpt, sc, ang_w)
             glvl_all = jnp.take(lvl_p.reshape(-1), tile_groups_ec).reshape(
                 n_tiles, r_batch, tt_pad
             )
@@ -519,9 +559,10 @@ def build_kernel_step(
                 sig_k = sigma_c.astype(sdt)
                 # per-range gather sources (materialized so the in-scan
                 # takes hit the fast row-gather path)
-                ang_flat = lax.optimization_barrier(
-                    ang_p.reshape(-1, ang_w)
-                )
+                if not use_direct:
+                    ang_flat = lax.optimization_barrier(
+                        ang_p.reshape(-1, ang_w)
+                    )
                 sfc_2d = slot_flat_c.reshape(n_tiles, r_batch * cpt * sc)
 
                 def range_body(nd_c, rid):
@@ -552,19 +593,31 @@ def build_kernel_step(
                         return [full[..., b * kl:(b + 1) * kl]
                                 for b in range(banks)]
 
-                    sfc = dsl(sfc_2d, t0, tpc).reshape(-1)
-                    doff_rng = jnp.take(ang_flat, sfc, axis=0).reshape(
-                        tpc, r_batch, cpt, sc, ang_w
-                    )
-                    if ang_w < a_pad:
-                        # live-width tables -> kernel lane width; dead lanes
-                        # get c_ang (they read zero band lanes; masked rows
-                        # go fully sentinel via the where below)
-                        doff_rng = jnp.pad(
-                            doff_rng,
-                            ((0, 0),) * 4 + ((0, a_pad - ang_w),),
-                            constant_values=c_ang,
+                    if use_direct:
+                        doff_rng = sample_doff(
+                            ang,
+                            dsl(qyx_pack, t0, tpc).reshape(
+                                tpc * r_batch, cpt, sc
+                            ),
+                            dsl(origins_c, t0, tpc),
+                            rs_i32, bh=bh, bw=bw, c_ang=c_ang,
+                            interpret=interpret,
+                        ).reshape(tpc, r_batch, cpt, sc, a_pad)
+                    else:
+                        sfc = dsl(sfc_2d, t0, tpc).reshape(-1)
+                        doff_rng = jnp.take(ang_flat, sfc, axis=0).reshape(
+                            tpc, r_batch, cpt, sc, ang_w
                         )
+                        if ang_w < a_pad:
+                            # live-width tables -> kernel lane width; dead
+                            # lanes get c_ang (they read zero band lanes;
+                            # masked rows go fully sentinel via the where
+                            # below)
+                            doff_rng = jnp.pad(
+                                doff_rng,
+                                ((0, 0),) * 4 + ((0, a_pad - ang_w),),
+                                constant_values=c_ang,
+                            )
                     smask_rng = dsl(smask_s, t0, tpc)
                     doff_rng = jnp.where(
                         smask_rng[..., None], doff_rng, sent

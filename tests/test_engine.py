@@ -131,6 +131,36 @@ def test_fused_engine_matches_unfused_3x3_f64():
     assert np.abs(np.asarray(nt) - np.asarray(nf)).max() < 1e-9
 
 
+def test_direct_doff_sampler_matches_take_f64():
+    """doff via the band-DMA sampler (kernels/gather.py sample_doff) vs the
+    jnp.take formulation, exact in f64 on both engine paths.
+
+    Same 3x3 shape as the fused/unfused test: multiple tiles/chunks, a
+    dummy ref block, and pad slots — the cases where the sampler's clamped
+    out-of-band reads must stay invisible (sentinel/zero-weight masked)."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import _flat_pad, _sigma_channels
+    from lfbm5d_tpu.pipeline.engine import build_kernel_step
+
+    sp = StepParams(tau_match=2500.0, n_sim=8, n_search=4, n_disp=1, k=8, p=3)
+    ah, aw, h, w, c = 3, 3, 48, 64, 1
+    clean = synthetic_lf(ah, aw, h, w, channels=1, seed=0)
+    noisy = add_noise_np(clean, 25.0, seed=1)
+    xp = _flat_pad(jnp.asarray(noisy, jnp.float64), sp.pad)
+    sig = _sigma_channels(25.0, "rgb", c, "float64")
+
+    args = (sp, 2.7, ah, aw, h, w, c, False, "float64")
+    for fused in (True, False):
+        f_take = build_kernel_step(*args, interpret=True, fused=fused)
+        f_dir = build_kernel_step(*args, interpret=True, fused=fused,
+                                  doff_mode="direct")
+        nt, dt_ = f_take(xp, xp, sig, None)
+        nd_, dd = f_dir(xp, xp, sig, None)
+        assert np.abs(np.asarray(nt) - np.asarray(nd_)).max() < 1e-12
+        assert np.abs(np.asarray(dt_) - np.asarray(dd)).max() < 1e-12
+
+
 def test_fused_engine_wiener_3x3_f64():
     """Two-step fused vs XLA on a 3x3 grid in f64 (Wiener + dual groups)."""
     p = params()
