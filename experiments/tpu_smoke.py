@@ -124,6 +124,45 @@ def main():
     except Exception as e:
         check("banked-fused 12x12 e2e", False, f"{type(e).__name__}: {e}")
 
+    # --- 5. direct doff sampler compiled == take reference (round-3: the
+    # band-slab DMA kernel is the compiled default for BM-map sampling;
+    # CPU tests only see it in interpret mode) ---
+    from lfbm5d_tpu.kernels.gather import sample_doff
+
+    n_tiles_s, refs_s, cpt_s, sc_s, l_s = 4, 3, 2, 64, 128
+    bh_s, bw_s, th_s, tw_s = 32, 48, 96, 128
+    tabs = jnp.asarray(
+        rng.integers(0, 25, (refs_s, th_s, tw_s, l_s)), jnp.int32
+    )
+    orig = np.stack(
+        [rng.integers(0, th_s - bh_s, n_tiles_s),
+         rng.integers(0, tw_s - bw_s, n_tiles_s)], axis=1
+    ).astype(np.int32)
+    qy = orig[:, None, 0, None, None] + rng.integers(
+        0, bh_s, (n_tiles_s, refs_s, cpt_s, sc_s)
+    )
+    qx = orig[:, None, 1, None, None] + rng.integers(
+        0, bw_s, (n_tiles_s, refs_s, cpt_s, sc_s)
+    )
+    qyx = jnp.asarray(
+        (qy * 2048 + qx).reshape(n_tiles_s * refs_s, cpt_s, sc_s), jnp.int32
+    )
+    rsai = jnp.asarray([1, 7, 100], jnp.int32)
+    try:
+        got = np.asarray(sample_doff(
+            tabs, qyx, jnp.asarray(orig), rsai, bh=bh_s, bw=bw_s, c_ang=12,
+        )).reshape(n_tiles_s, refs_s, cpt_s, sc_s, l_s)
+        want = np.asarray(tabs)[
+            np.arange(refs_s)[None, :, None, None], qy, qx
+        ]
+        for r in range(refs_s):
+            want[:, r, ..., int(rsai[r])] = 12
+        check("direct doff sampler compiled", np.array_equal(got, want),
+              f"mismatch rows {int((got != want).any(-1).sum())}")
+    except Exception as e:
+        check("direct doff sampler compiled", False,
+              f"{type(e).__name__}: {e}")
+
     print("SMOKE:", "PASS" if not FAILED else f"FAIL ({FAILED})")
     return 0 if not FAILED else 1
 

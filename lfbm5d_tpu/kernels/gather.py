@@ -103,12 +103,15 @@ def sample_doff(tables, qyx, origins, ref_sais, *, bh: int, bw: int,
     """Sample per-ref disparity tables directly into tile-layout doff.
 
     The engine's BM-map sampling is a gather of one [1, L] table row per
-    (slot, ref): XLA lowers the traced-index form at ~0.5 GB/s (40% of
-    default-parameter flagship device time, BASELINE.md launched profile),
-    and per-row DMAs pay issue latency (gather_rows above measured 0.7x
-    XLA). This kernel instead DMAs each tile's whole band region of the
+    (slot, ref). This kernel DMAs each tile's whole band region of the
     table once (contiguous, bandwidth-bound) and reads per-slot rows from
-    VMEM with the same dynamic-slice idiom as the fused kernel's extract.
+    VMEM with the same dynamic-slice idiom as the fused kernel's extract:
+    measured 48 ns/slot, 2.6x the standalone XLA take (the per-row DMA
+    gather_rows above measured 0.7x — issue latency). End-to-end it is
+    throughput-neutral (the in-pipeline gather was ~57 ms/launch, not the
+    profiled 3.44 s — that was select_similar's sorted-row gather, see
+    DESIGN_NOTES), but it keeps the ang_p/doff_all intermediates (3.1 GB
+    at 9x9 defaults) out of HBM, so it is the compiled default.
 
     tables:   [R, TH, TW, L] int32 per-ref disparity maps, padded so that
               every tile band [toy:toy+bh, tox:tox+bw] is in bounds and

@@ -26,9 +26,13 @@ def select_similar(dists, n_search: int, tau_match: float, n_sim: int):
     self_idx = center_index(n_search)
     adj = dists.at[:, self_idx].set(-1)
     order_full = jnp.argsort(adj, axis=1)  # stable
-    sorted_true = jnp.take_along_axis(dists, order_full, axis=1)
     tau_q = round(tau_match * DIST_QUANT)
-    count = jnp.sum(sorted_true <= tau_q, axis=1)  # >= 1 (self)
+    # The tau count is permutation-invariant, so it comes from the UNSORTED
+    # distances: the round-3 launched profile showed the sorted-row gather
+    # (take_along_axis over the full (2n+1)^2-wide rows, 32M elements per
+    # ref at default parameters) was 40% of flagship device time — and its
+    # only consumer was this sum.
+    count = jnp.sum(dists <= tau_q, axis=1)  # >= 1 (self SSD is 0)
     count = jnp.minimum(count, n_sim)
     lvl = jnp.zeros((t,), dtype=jnp.int32)
     s = 2

@@ -323,13 +323,16 @@ def build_kernel_step(
     # branch pads to the kernel's 128 lanes per tile range. Banked grids
     # need the full bank structure, so they keep a_pad.
     #
-    # Round 3: the BM-map sampling (XLA lowers the traced-index row gather
-    # at ~0.5 GB/s — 40% of launched device time at default parameters,
-    # BASELINE.md profile) has three implementations, selected by
+    # Round 3: the BM-map sampling has three implementations, selected by
     # LFBM5D_DOFF_MODE:
     #   direct (compiled default) — kernels/gather.py sample_doff: per-tile
     #     band-slab DMA + in-kernel per-slot reads, produces doff in tile
-    #     layout directly (skips the an/ang_p intermediate entirely);
+    #     layout directly. End-to-end throughput-NEUTRAL vs take (the
+    #     in-pipeline gather was never the flagship bottleneck — see
+    #     DESIGN_NOTES "attribution was WRONG"; the real 40% was
+    #     select_similar's sorted-row gather, since removed), but it keeps
+    #     the ang_p / all-tile doff intermediates (3.1 GB at 9x9 defaults)
+    #     out of HBM;
     #   take — the original jnp.take row-gather (interpret default: its
     #     summation/selection order is what the f64 oracle tests pin);
     #   dma — the per-row pipelined-DMA kernel (gather_rows; measured 0.7x
