@@ -100,11 +100,19 @@ def main():
     noisy_dev = jnp.asarray(noisy, jnp.float32)
     jax.block_until_ready(noisy_dev)
 
+    # Sync fence: one pre-compiled single-module probe (a scalar fetch
+    # round-trips the stream; block_until_ready alone has been observed not
+    # to block through the axon tunnel). Naive final[0,0,0,0,0] dispatches
+    # THREE modules (dynamic_slice, squeeze, convert) at ~25-35 ms tunnel
+    # round-trip each — measurement overhead, not denoise cost.
+    probe = jax.jit(lambda x: x.reshape(-1)[0])
+
     # warmup / compile
     t0 = time.time()
     basic, final = run_bm5d(noisy_dev, params, engine=args.engine)
     jax.block_until_ready(final)
     compile_and_first = time.time() - t0
+    float(probe(final))  # compile the probe outside the timed loop
     print(f"compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
 
     if args.profile:
@@ -113,11 +121,7 @@ def main():
     for _ in range(args.runs):
         t0 = time.time()
         basic, final = run_bm5d(noisy_dev, params, engine=args.engine)
-        jax.block_until_ready(final)
-        # force a genuine device sync: a scalar fetch round-trips the
-        # stream (block_until_ready alone has been observed not to block
-        # through the axon tunnel, docs/DESIGN_NOTES.md)
-        float(final[0, 0, 0, 0, 0])
+        float(probe(final))
         times.append(time.time() - t0)
     dt = min(times)
     spread = (max(times) - min(times)) / min(times)
