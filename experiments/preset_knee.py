@@ -11,7 +11,11 @@ Usage:
   python experiments/preset_knee.py --shape 9 224 320 \
       --presets default fast N16n8p4 N16n8p4A2 ... [--runs 2] [--engine auto]
 
-Preset grammar: 'default', 'fast', or N{n_sim}n{n_search}p{p}[d{n_disp}][A{p_ang}].
+Preset grammar: 'default', 'fast', or N{n_sim}n{n_search}p{p}[d{n_disp}][A{p_ang}];
+'HT/WIENER' (two presets joined by '/') sets the steps asymmetrically —
+the steps have different costs (Wiener runs 9 chain passes vs HT's 6) and
+different quality roles (HT only builds the Wiener pilot), so the knee
+need not be symmetric.
 """
 
 import argparse
@@ -70,11 +74,17 @@ def main():
           file=sys.stderr, flush=True)
 
     for name in args.presets:
-        step = parse_preset(name)
+        if "/" in name:
+            ht_name, wn_name = name.split("/", 1)
+            step_ht = parse_preset(ht_name)
+            step_wn = parse_preset(wn_name)
+        else:
+            step_ht = step_wn = parse_preset(name)
+        step = {"ht": step_ht, "wiener": step_wn}
         params = DenoiseParams(
             sigma=args.sigma,
-            ht=StepParams(tau_match=2500.0, **step),
-            wiener=StepParams(tau_match=400.0, **step),
+            ht=StepParams(tau_match=2500.0, **step_ht),
+            wiener=StepParams(tau_match=400.0, **step_wn),
             chunk=128,
         )
         t0 = time.time()
