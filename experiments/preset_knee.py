@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--engine", default="auto")
     ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="synthetic-LF content seed (vary to check a preset "
+                    "is not tuned to one LF)")
+    ap.add_argument("--disp", type=int, nargs=2, default=[1, 2],
+                    metavar=("BG", "FG"), help="background/foreground "
+                    "disparity of the synthetic LF")
     args = ap.parse_args()
 
     import jax
@@ -64,8 +70,9 @@ def main():
     from lfbm5d_tpu.pipeline import run_bm5d
 
     a, h, w = args.shape
-    clean = synthetic_lf(a, a, h, w, channels=3, disp_bg=1, disp_fg=2, seed=0)
-    noisy = add_noise_np(clean, args.sigma, seed=1)
+    clean = synthetic_lf(a, a, h, w, channels=3, disp_bg=args.disp[0],
+                         disp_fg=args.disp[1], seed=args.seed)
+    noisy = add_noise_np(clean, args.sigma, seed=args.seed + 1)
     noisy_dev = jnp.asarray(noisy, jnp.float32)
     jax.block_until_ready(noisy_dev)
     p_noisy = psnr(np.clip(noisy, 0, 255), clean)
