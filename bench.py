@@ -36,11 +36,13 @@ def main():
                     help="small LF (3x3x96x128) smoke test")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--preset", default="fast",
-                    choices=["default", "fast", "matched"],
+                    choices=["default", "fast", "matched", "robust"],
                     help="'default' = reference-default parameters; 'fast' = "
                     "throughput preset (N=8, p=6, smaller search windows); "
-                    "'matched' = fastest preset measured within 0.05 dB of "
-                    "reference-default PSNR (BASELINE.md knee sweep)")
+                    "'matched' = fastest preset measured at-or-above "
+                    "reference-default PSNR on the bench LF; 'robust' = "
+                    "within 0.05 dB of default on every tested content "
+                    "class (BASELINE.md knee sweeps)")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--sigma", type=float, default=25.0)
@@ -72,10 +74,16 @@ def main():
     if args.preset == "fast":
         step = dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
     elif args.preset == "matched":
-        # fastest preset measured <= 0.05 dB below reference-default PSNR
-        # at the 9x9 flagship shape (BASELINE.md round-3 knee sweep:
-        # 28.367 vs 28.416 dB at 434x625, 6.35x the default's speed)
-        step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=4, p_ang=2)
+        # fastest preset measured at-or-above reference-default PSNR on
+        # the bench LF at the 9x9 flagship shape (BASELINE.md round-3 knee
+        # sweeps: 28.418 vs default 28.416 dB at 434x625, 91x the
+        # default's speed; content caveat recorded in BASELINE.md)
+        step = dict(n_sim=8, n_search=16, n_disp=1, k=8, p=8, p_ang=4)
+    elif args.preset == "robust":
+        # within 0.05 dB of reference-default on every tested content
+        # class incl. low-disparity LFs (worst case -0.046 dB;
+        # BASELINE.md robust-preset table)
+        step = dict(n_sim=16, n_search=16, n_disp=1, k=8, p=3, p_ang=2)
     else:
         step = dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
     params = DenoiseParams(

@@ -73,10 +73,17 @@ _PRESETS = {
     "default": {},
     # throughput preset: coarser reference grid, smaller windows
     "fast": dict(nsim=8, nsearch=8, ndisp=2, p=6),
-    # fastest preset measured within 0.05 dB of reference-default PSNR at
-    # the 9x9 flagship shape (BASELINE.md round-3 knee sweep: -0.049 dB at
-    # 6.35x the default's speed)
-    "matched": dict(nsim=16, nsearch=16, ndisp=2, p=4, pang=2),
+    # fastest preset measured within 0.05 dB of reference-default PSNR on
+    # the bench LF at the 9x9 flagship shape (BASELINE.md round-3 knee
+    # sweeps: 28.418 vs default 28.416 dB at 434x625, 91x the default's
+    # speed). Content caveat: on low-disparity LFs this preset loses up to
+    # ~0.4 dB to default (BASELINE.md content-robustness table); use
+    # 'robust' when quality must track reference-default on ALL content.
+    "matched": dict(nsim=8, nsearch=16, ndisp=1, p=8, pang=4),
+    # within 0.05 dB of reference-default on EVERY tested content class
+    # (low/mid/high disparity; worst case -0.046 dB on the static-
+    # background LF, BASELINE.md robust-preset table), ~4x default speed
+    "robust": dict(nsim=16, nsearch=16, ndisp=1, p=3, pang=2),
 }
 
 _STEP_DEFAULTS = dict(

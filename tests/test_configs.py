@@ -109,8 +109,8 @@ def test_preset_merge_explicit_flag_wins():
 
 def test_matched_preset_is_the_measured_one():
     """The CLI 'matched' preset must stay in sync with the knee-sweep
-    winner recorded in BASELINE.md (N16 n16 p4 p_ang=2, -0.049 dB at the
-    flagship shape)."""
+    winner recorded in BASELINE.md (N8 n16 p8 nDisp=1 p_ang=4:
+    28.418 dB vs default 28.416 at the flagship shape, 91x)."""
     import argparse
 
     from lfbm5d_tpu.cli import _step_args, _step_params
@@ -119,4 +119,20 @@ def test_matched_preset_is_the_measured_one():
     ap.add_argument("--preset", default="matched")
     _step_args(ap, "ht", 2500.0)
     sp = _step_params(ap.parse_args([]), "ht", 2500.0)
-    assert (sp.n_sim, sp.n_search, sp.p, sp.p_ang) == (16, 16, 4, 2)
+    assert (sp.n_sim, sp.n_search, sp.n_disp, sp.p, sp.p_ang) == (8, 16, 1, 8, 4)
+
+
+def test_robust_preset_is_the_measured_one():
+    """The CLI 'robust' preset must stay in sync with the content-
+    robustness winner recorded in BASELINE.md (N16 n16 p3 nDisp=1
+    p_ang=2: within 0.05 dB of reference-default on every tested
+    content class, worst case -0.046 dB on the static-background LF)."""
+    import argparse
+
+    from lfbm5d_tpu.cli import _step_args, _step_params
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="robust")
+    _step_args(ap, "ht", 2500.0)
+    sp = _step_params(ap.parse_args([]), "ht", 2500.0)
+    assert (sp.n_sim, sp.n_search, sp.n_disp, sp.p, sp.p_ang) == (16, 16, 1, 3, 2)
