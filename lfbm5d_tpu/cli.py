@@ -32,6 +32,7 @@ import time
 
 import numpy as np
 
+from lfbm5d_tpu import config as _config
 from lfbm5d_tpu.config import DenoiseParams, SRParams, StepParams
 from lfbm5d_tpu.lf import load_lf, psnr, rmse, save_lf
 from lfbm5d_tpu.lf.noise import add_noise_np
@@ -68,22 +69,15 @@ def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
     g.add_argument(f"--{prefix}-usesd", action="store_true", default=None)
 
 
+# Flag-name view of the canonical presets (config.PRESETS is the single
+# source of truth; BASELINE.md knee sweeps are the measurement record).
+# 'adaptive' (denoise mode only) probes the LF's angular redundancy and
+# picks 'matched' or 'robust' per content (pipeline/adaptive.py).
+_FIELD_TO_FLAG = {"n_sim": "nsim", "n_search": "nsearch", "n_disp": "ndisp",
+                  "p": "p", "p_ang": "pang", "k": "k"}
 _PRESETS = {
-    # reference-default parameters (SURVEY.md §2.9)
-    "default": {},
-    # throughput preset: coarser reference grid, smaller windows
-    "fast": dict(nsim=8, nsearch=8, ndisp=2, p=6),
-    # fastest preset measured within 0.05 dB of reference-default PSNR on
-    # the bench LF at the 9x9 flagship shape (BASELINE.md round-3 knee
-    # sweeps: 28.418 vs default 28.416 dB at 434x625, 91x the default's
-    # speed). Content caveat: on low-disparity LFs this preset loses up to
-    # ~0.4 dB to default (BASELINE.md content-robustness table); use
-    # 'robust' when quality must track reference-default on ALL content.
-    "matched": dict(nsim=8, nsearch=16, ndisp=1, p=8, pang=4),
-    # within 0.05 dB of reference-default on EVERY tested content class
-    # (low/mid/high disparity; worst case -0.046 dB on the static-
-    # background LF, BASELINE.md robust-preset table), ~4x default speed
-    "robust": dict(nsim=16, nsearch=16, ndisp=1, p=3, pang=2),
+    name: {_FIELD_TO_FLAG[f]: v for f, v in over.items()}
+    for name, over in _config.PRESETS.items()
 }
 
 _STEP_DEFAULTS = dict(
@@ -126,8 +120,11 @@ def _common_io_args(ap):
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--preset", default="default",
-                    choices=sorted(_PRESETS),
-                    help="parameter preset; explicit per-step flags override")
+                    choices=sorted(_PRESETS) + ["adaptive"],
+                    help="parameter preset; explicit per-step flags "
+                    "override. 'adaptive' (denoise only) probes the LF's "
+                    "angular redundancy and picks 'matched' or 'robust' "
+                    "per content (BASELINE.md content-robustness tables)")
     ap.add_argument("--json", action="store_true",
                     help="emit a structured JSON report on stdout")
 
@@ -166,6 +163,11 @@ def cmd_denoise(ns) -> int:
               file=sys.stderr)
         return 2
 
+    probe_stats = None
+    if ns.preset == "adaptive":
+        from lfbm5d_tpu.pipeline.adaptive import select_preset
+
+        ns.preset, probe_stats = select_preset(lf, sigma)
     params = DenoiseParams(
         sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
         ht=_step_params(ns, "ht", 2500.0),
@@ -191,6 +193,11 @@ def cmd_denoise(ns) -> int:
     mpix = lf.shape[0] * lf.shape[1] * lf.shape[2] * lf.shape[3] / 1e6
     report = {
         "mode": "denoise", "shape": list(lf.shape), "sigma": sigma,
+        **(
+            {"preset_selected": ns.preset,
+             "static_fraction": round(probe_stats["static_fraction"], 3)}
+            if probe_stats is not None else {}
+        ),
         "mpix": round(mpix, 3),
         "seconds_denoise": round(timer.seconds("denoise"), 3),
         "mpix_per_s": round(mpix / max(timer.seconds("denoise"), 1e-9), 3),
@@ -219,6 +226,11 @@ def cmd_sr(ns) -> int:
     from lfbm5d_tpu.pipeline.sr import run_sr
     from lfbm5d_tpu.utils.timing import StageTimer
 
+    if ns.preset == "adaptive":
+        print("error: --preset adaptive is denoise-only (the probe's "
+              "decision tables are measured for the denoising presets)",
+              file=sys.stderr)
+        return 2
     timer = StageTimer()
     try:
         with timer.stage("load"):

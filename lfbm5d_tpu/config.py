@@ -126,6 +126,43 @@ def default_denoise_params(sigma: float = 25.0) -> DenoiseParams:
     return DenoiseParams(sigma=sigma)
 
 
+# Named parameter presets: StepParams field overrides applied to BOTH steps
+# (tau_match stays per-step: 2500 HT / 400 Wiener). Single source of truth
+# for the CLI, bench.py, and the content-adaptive selector
+# (pipeline/adaptive.py). Measurement record: BASELINE.md knee sweeps.
+PRESETS: dict = {
+    # reference-default parameters (SURVEY.md §2.9)
+    "default": {},
+    # throughput preset: coarser reference grid, smaller windows
+    "fast": dict(n_sim=8, n_search=8, n_disp=2, p=6),
+    # fastest preset measured at-or-above reference-default PSNR on the
+    # bench LF at the 9x9 flagship shape (28.418 vs 28.416 dB at 434x625,
+    # 91x the default's speed). Content caveat: loses up to ~0.4 dB on
+    # low-disparity LFs — 'robust' covers that regime.
+    "matched": dict(n_sim=8, n_search=16, n_disp=1, p=8, p_ang=4),
+    # within 0.05 dB of reference-default on EVERY tested content class
+    # (worst case -0.046 dB on a static-background LF) at ~4x default speed
+    "robust": dict(n_sim=16, n_search=16, n_disp=1, p=3, p_ang=2),
+}
+
+
+def preset_step_params(name: str, tau_match: float, **extra) -> StepParams:
+    """StepParams for a named preset (tau_match: 2500.0 HT / 400.0 Wiener)."""
+    over = dict(PRESETS[name])
+    over.update(extra)
+    return StepParams(tau_match=tau_match, **over)
+
+
+def preset_denoise_params(name: str, sigma: float, **kw) -> DenoiseParams:
+    """Full two-step DenoiseParams for a named preset."""
+    return DenoiseParams(
+        sigma=sigma,
+        ht=preset_step_params(name, 2500.0),
+        wiener=preset_step_params(name, 400.0),
+        **kw,
+    )
+
+
 @dataclass(frozen=True)
 class SRParams:
     """Super-resolution mode (ICIP18): bicubic init + [filter, back-project] loop.
