@@ -74,6 +74,32 @@ def main():
     check("bm kernel vs xla scan", worst < 1e-4,
           f"worst mismatch fraction {worst:.2e}")
 
+    # --- 2b. self-BM kernel vs XLA scan (round-3: banded-matmul box sums;
+    # values agree up to +-1 quantization unit from MXU summation order,
+    # and the matmuls MUST run at HIGHEST precision — default single-pass
+    # bf16 truncation of the [0,255]^2-scale energies measured ~0.4%
+    # relative error, hundreds of quant units) ---
+    from lfbm5d_tpu.kernels.bm import self_distances_kernel
+    from lfbm5d_tpu.lf.pad import ind_initialize
+    from lfbm5d_tpu.ops.distances import self_distances
+
+    hs, ws, ks, ns, ps = 96, 128, 8, 8, 4
+    pad_s = ns + 2
+    plane_s = jnp.asarray(
+        rng.random((hs + 2 * pad_s, ws + 2 * pad_s)) * 255, jnp.float32
+    )
+    ys_s = ind_initialize(hs, ks, ps) + pad_s
+    xs_s = ind_initialize(ws, ks, ps) + pad_s
+    ref_d = np.asarray(self_distances(plane_s, ys_s, xs_s, ks, ns))
+    got_d = np.asarray(self_distances_kernel(
+        plane_s, tuple(int(v) for v in ys_s), tuple(int(v) for v in xs_s),
+        ks, ns,
+    ))
+    neq = float((ref_d != got_d).mean())
+    maxd = int(np.abs(ref_d.astype(np.int64) - got_d.astype(np.int64)).max())
+    check("self-bm kernel vs xla scan", neq < 1e-2 and maxd <= 1,
+          f"mismatch frac {neq:.2e}, max |dq| {maxd}")
+
     # --- 3. end-to-end engine agreement on-chip ---
     from lfbm5d_tpu.config import DenoiseParams, StepParams
     from lfbm5d_tpu.lf import psnr, synthetic_lf

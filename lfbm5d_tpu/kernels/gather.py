@@ -36,7 +36,12 @@ def _build_doff(n_tiles: int, refs: int, cpt: int, sc: int, bh: int, bw: int,
         t = i // refs
         r = i % refs
         toy = org_ref[t, 0]
-        tox = org_ref[t, 1]
+        # engine.py aligns tile x-origins to sublane multiples; the (//8)*8
+        # here is a no-op on values but lets Mosaic PROVE the slab DMA's
+        # dim-2 slice offset is tile-aligned ("Failed to prove that a tile
+        # index in dimension 2 is divisible by the tiling (8)" otherwise —
+        # a traced SMEM scalar has no divisibility facts by itself)
+        tox = (org_ref[t, 1] // 8) * 8
 
         # one slab DMA per (tile, ref): the tile's band region of ref r's
         # disparity table, at the STATIC band origin (contiguous rows at

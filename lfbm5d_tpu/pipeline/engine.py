@@ -46,7 +46,7 @@ from jax import lax
 
 from lfbm5d_tpu.config import StepParams
 from lfbm5d_tpu.kernels.accumulate import accumulate_groups_fused
-from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel
+from lfbm5d_tpu.kernels.bm import cross_argmin_all_kernel, self_distances_kernel
 from lfbm5d_tpu.kernels.extract import extract_groups
 from lfbm5d_tpu.kernels.gather import gather_rows, sample_doff
 from lfbm5d_tpu.kernels.fused import fused_group_step, fused_group_step_banked
@@ -186,7 +186,7 @@ def build_kernel_step(
 
     def band_bytes(r, cc):
         bhh = _round_up((r - 1) * sp.p + halo, 8)
-        bww = _round_up((cc - 1) * sp.p + halo, 8)
+        bww = _round_up((cc - 1) * sp.p + halo + 7, 8)  # +7: origin alignment
         return bhh * bww * kl * 4  # per-bank band slab
 
     while cols_per_tile > 1 and band_bytes(rows_per_tile, cols_per_tile) > band_budget:
@@ -207,7 +207,9 @@ def build_kernel_step(
     span_y = (rows_per_tile - 1) * sp.p + halo
     span_x = (cols_per_tile - 1) * sp.p + halo
     bh = _round_up(span_y, 8)
-    bw = _round_up(span_x, 8)
+    # +7: tile x-origins are aligned DOWN to sublane multiples below, which
+    # can shift a tile's patches up to 7 columns into the band
+    bw = _round_up(span_x + 7, 8)
     assert bh < 2048 and bw < 2048  # packed y*2048+x slot origins
 
     # --- reference-SAI set: p_ang > 1 subsamples which SAIs serve as
@@ -260,7 +262,16 @@ def build_kernel_step(
             ry = range(tyi * rows_per_tile, min((tyi + 1) * rows_per_tile, len(ys)))
             rx = range(txi * cols_per_tile, min((txi + 1) * cols_per_tile, len(xs)))
             tile_oy[ti] = ys[ry.start] - (n + nd)
-            tile_ox[ti] = xs[rx.start] - (n + nd)
+            # x-origins aligned DOWN to the sublane tile (8): sample_doff's
+            # band-slab DMA slices the [R, TH, TW, L] table on the sublane-
+            # tiled TW axis, and Mosaic requires provably 8-aligned starts
+            # there ("tile index in dimension 2 divisible by the tiling").
+            # The shipped single-bank configs were aligned by accident
+            # (cols_per_tile * p was a multiple of 8); the banked-fused
+            # path's auto-shrunk cols_per_tile = 1 exposed it (round 3,
+            # 17x17 bisect). bw carries the +7 cover; slot positions are
+            # band-relative so results are unchanged.
+            tile_ox[ti] = (xs[rx.start] - (n + nd)) // 8 * 8
             g = [iy * len(xs) + ix for iy in ry for ix in rx]
             tile_groups[ti, : len(g)] = g
 
@@ -315,6 +326,8 @@ def build_kernel_step(
     # plus the scan overhead disappears). Interpret mode keeps the scan —
     # its reduce_window summation order is what the f64 oracle tests pin.
     use_bm_kernel = (not interpret) and (k & (k - 1)) == 0
+    ys_t = tuple(int(v) for v in ys)  # static coords for the self-BM kernel
+    xs_t = tuple(int(v) for v in xs)
     wq_bm = _round_up(wp + 2 * nd, _LANES)
     v1k = wq_bm - 2 * nd - k + 1  # kernel BM map width (>= v1)
     # Angular-table width: the disparity-map row-gather is DRAM-random-
@@ -424,7 +437,16 @@ def build_kernel_step(
             # chip, twice); only the group stage is ref-batched.
             def bm_one(_, ri):
                 im = match0[ri]
-                d_self = self_distances(im, ys, xs, k, n)
+                if use_bm_kernel:
+                    # VMEM-resident self-BM (kernels/bm.py): the XLA
+                    # displacement scan round-trips full-plane intermediates
+                    # through HBM per displacement — 12% of the matched-
+                    # preset flagship device time at n=16. Same quantized-
+                    # distance contract; interpret mode keeps the scan
+                    # (f64 oracle tests pin its summation order).
+                    d_self = self_distances_kernel(im, ys_t, xs_t, k, n)
+                else:
+                    d_self = self_distances(im, ys, xs, k, n)
                 order, lv, mk = select_similar(d_self, n, sp.tau_match, n_sim)
                 offs = disp_self[order]
                 sy = pos_y[:, None] + offs[..., 0]  # [T, N]
