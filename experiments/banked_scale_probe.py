@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--cols", type=int, default=24)
     ap.add_argument("--wiener", action="store_true")
+    ap.add_argument("--launched", action="store_true",
+                    help="run as bounded per-ref-block launches "
+                    "(launch_blocks=1) instead of one program — the fault "
+                    "hypothesis is launch DURATION, not the kernel")
     ap.add_argument("--soak", type=int, default=1,
                     help="extra timed runs after the compile run")
     args = ap.parse_args()
@@ -69,27 +73,38 @@ def main():
         sp, 2.7, a, a, h, w, c, args.wiener, "float32",
         interpret=jax.default_backend() != "tpu",
         rows_per_tile=args.rows, cols_per_tile=args.cols, sc=args.sc,
-        fused=True,
+        fused=True, launch_blocks=1 if args.launched else None,
     )
-    if args.wiener:
-        fn = jax.jit(step)
-    else:
-        fn = jax.jit(lambda n_, m_, s_: step(n_, m_, s_, None))
 
+    def run_once():
+        if args.launched:
+            prep = jax.jit(step.prepare) if args.wiener else jax.jit(
+                lambda n_, m_: step.prepare(n_, m_, None)
+            )
+            raw = jax.jit(step)
+            prepared = prep(xp, xp, xp) if args.wiener else prep(xp, xp)
+            num = jnp.zeros(step.acc_shape, step.acc_dtype)
+            den = jnp.zeros(step.acc_shape, step.acc_dtype)
+            for b0 in range(step.n_blocks):
+                num, den = raw(prepared, sig, num, den, jnp.int32(b0))
+            return step.finalize(num, den)
+        fn = jax.jit(step) if args.wiener else jax.jit(
+            lambda n_, m_, s_: step(n_, m_, s_, None)
+        )
+        if args.wiener:
+            return fn(xp, xp, sig, xp)
+        return fn(xp, xp, sig)
+
+    if args.launched:
+        print(f"launched: {step.n_blocks} blocks", flush=True)
     t0 = time.time()
-    if args.wiener:
-        num, den = fn(xp, xp, sig, xp)
-    else:
-        num, den = fn(xp, xp, sig)
+    num, den = run_once()
     jax.block_until_ready((num, den))
     print(f"compile+first: {time.time() - t0:.1f}s", flush=True)
     times = []
     for _ in range(args.soak):
         t0 = time.time()
-        if args.wiener:
-            num, den = fn(xp, xp, sig, xp)
-        else:
-            num, den = fn(xp, xp, sig)
+        num, den = run_once()
         jax.block_until_ready((num, den))
         times.append(time.time() - t0)
     print(f"PASS  run(s): {[round(t, 2) for t in times]}  "

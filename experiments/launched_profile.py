@@ -40,14 +40,15 @@ def main():
     sig = _sigma_channels(25.0, "opp", c, "float32")
     jax.block_until_ready(xp)
 
-    raw, fn = _launched_step_jit(
+    raw, prep, fn = _launched_step_jit(
         sp, 2.7, a_h, a_w, h, w, c, False, "float32", None
     )
+    prepared = prep(xp, xp)
     num = jnp.zeros(raw.acc_shape, raw.acc_dtype)
     den = jnp.zeros(raw.acc_shape, raw.acc_dtype)
     print(f"mode={mode} blocks={raw.n_blocks}", flush=True)
     t0 = time.time()
-    num, den = fn(xp, xp, sig, num, den, jnp.int32(0))
+    num, den = fn(prepared, sig, num, den, jnp.int32(0))
     jax.block_until_ready((num, den))
     _ = float(num[0, 0, 0, 0])
     print(f"compile+first launch: {time.time() - t0:.1f}s", flush=True)
@@ -57,7 +58,7 @@ def main():
     jax.profiler.start_trace(trace_dir)
     for b in (1, 2):
         t0 = time.time()
-        num, den = fn(xp, xp, sig, num, den, jnp.int32(b))
+        num, den = fn(prepared, sig, num, den, jnp.int32(b))
         jax.block_until_ready((num, den))
         _ = float(num[0, 0, 0, 0])
         times.append(time.time() - t0)

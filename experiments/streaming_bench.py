@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--shape", type=int, nargs=3, default=[5, 192, 256])
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--preset", default="fast",
+                    help="named preset from config.PRESETS")
     args = ap.parse_args()
 
     import jax
@@ -49,13 +51,18 @@ def main():
     from lfbm5d_tpu.pipeline.streaming import denoise_batch
 
     a, h, w = args.shape
-    step = dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
-    params = DenoiseParams(
-        sigma=25.0,
-        ht=StepParams(tau_match=2500.0, **step),
-        wiener=StepParams(tau_match=400.0, **step),
-        chunk=128,
-    )
+    if args.preset == "fast":
+        step = dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
+        params = DenoiseParams(
+            sigma=25.0,
+            ht=StepParams(tau_match=2500.0, **step),
+            wiener=StepParams(tau_match=400.0, **step),
+            chunk=128,
+        )
+    else:
+        from lfbm5d_tpu.config import preset_denoise_params
+
+        params = preset_denoise_params(args.preset, 25.0, chunk=128)
     mpix = a * a * h * w / 1e6
     bmax = max(args.batches)
     rng_lfs = []

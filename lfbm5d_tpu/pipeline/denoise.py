@@ -331,6 +331,16 @@ def _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, engine):
 # bound sits just above the proven-stable fast-preset 9x9 (~4.9M slots,
 # ~12 s/step). Bounded launches also bound peak transients.
 _LAUNCH_SLOT_LIMIT = 6_000_000
+# Banked (>128-SAI) grids: slot bound for the SINGLE-program two-kernel
+# path. A 17x17x128x128 default single program (7.8M slots, ~2 min) faults
+# the device at runtime — re-confirmed late round 3 in BOTH doff modes
+# after the band-origin alignment fix, so this is the device's program-
+# duration bound, not a kernel bug (round-2's recorded 35 s single-program
+# run no longer reproduces on current infra). Bigger banked grids run as
+# bounded launches with hoisted per-step tables (engine.py `prepare`).
+_BANKED_SLOT_LIMIT = int(
+    __import__("os").environ.get("LFBM5D_BANKED_SLOT_LIMIT", 2_000_000)
+)
 
 
 def _step_slots(sp: StepParams, a_h, a_w, h, w) -> int:
@@ -345,37 +355,42 @@ def _launched_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
                        group_dtype):
     from lfbm5d_tpu.pipeline.engine import build_kernel_step
 
-    if a_h * a_w > 128:
+    a = a_h * a_w
+    fused = None
+    if a > 128:
         group_dtype = None  # bf16 chain is fused-only; banked grids run f32
+        # launched BANKED grids take the banked-FUSED kernel: at 17x17x
+        # 128x128 it measured 48.8 s (HT) / 65.7 s (Wiener) per step vs
+        # ~113-127 s/step for launched two-kernel (whose lane-join
+        # transposes are 40% of launch time) — see DESIGN_NOTES round-3
+        # late session. Grids beyond 3 banks keep the two-kernel path.
+        fused = True if a <= 384 else False
     raw = build_kernel_step(
         sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
         interpret=jax.default_backend() != "tpu",
-        group_dtype=group_dtype, launch_blocks=1,
+        group_dtype=group_dtype, launch_blocks=1, fused=fused,
     )
     if wiener:
-        fn = jax.jit(raw)
+        prep = jax.jit(raw.prepare)
     else:
-        fn = jax.jit(
-            lambda np_, mp, sig, num, den, b0: raw(
-                np_, mp, sig, None, num, den, b0
-            )
-        )
-    return raw, fn
+        prep = jax.jit(lambda np_, mp: raw.prepare(np_, mp, None))
+    fn = jax.jit(raw)
+    return raw, prep, fn
 
 
 def _run_step_launched(sp, lambda_3d, wiener, xp, mp, sigma_c, bp,
                        a_h, a_w, h, w, c, dtype, group_dtype):
-    raw, fn = _launched_step_jit(
+    raw, prep, fn = _launched_step_jit(
         sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype, group_dtype
     )
+    # per-STEP constants (tables, BM planes, band batches) computed once;
+    # every launch reuses them (they were rebuilt per launch before —
+    # dominating launch time on banked grids, ~5% on the flagship default)
+    prepared = prep(xp, mp, bp) if wiener else prep(xp, mp)
     num = jnp.zeros(raw.acc_shape, raw.acc_dtype)
     den = jnp.zeros(raw.acc_shape, raw.acc_dtype)
     for b0 in range(raw.n_blocks):
-        b = jnp.int32(b0)
-        if wiener:
-            num, den = fn(xp, mp, sigma_c, bp, num, den, b)
-        else:
-            num, den = fn(xp, mp, sigma_c, num, den, b)
+        num, den = fn(prepared, sigma_c, num, den, jnp.int32(b0))
     return raw.finalize(num, den)
 
 
@@ -499,10 +514,7 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
         # banked configs take the round-2-proven two-kernel path below.
         return _run_bm5d_banked_fused(lf, params, dtype)
     if on_tpu_pallas and max_slots > (
-        # a 17x17x128x128 default single program (7.8M slots) faulted at
-        # runtime in round 3 even after the SMEM clamp — banked grids
-        # above the banked-fused bound go straight to launched two-kernel
-        2_000_000 if banked else _LAUNCH_SLOT_LIMIT
+        _BANKED_SLOT_LIMIT if banked else _LAUNCH_SLOT_LIMIT
     ):
         return _run_bm5d_launched(
             lf, params, dtype,

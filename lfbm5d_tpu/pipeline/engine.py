@@ -180,9 +180,18 @@ def build_kernel_step(
     # the band block (tile extent + 2(n+nd) + k + 2nd each way) must leave
     # room for the streaming idx/out blocks and their double buffers.
     halo = 2 * (n + nd) + k + 2 * nd
-    # banked fused holds `banks` band slabs (+ outs + scratches) per
-    # program, so the per-slab budget shrinks accordingly
-    band_budget = 4_500_000 // (banks if fused else 1)  # bytes
+    # banked fused holds `banks` band slabs (+ 2*banks outs + 2*banks
+    # scratches) per program. A flat 4.5MB/banks budget shrank 17x17 tiles
+    # to 3 patches (cols_per_tile=1) and the per-program band DMA + slot
+    # padding made launched banked-fused ~13x slower than two-kernel
+    # (round-3 measurement); the kernel runs under a 110MB VMEM limit, so
+    # give banked-fused a real slab budget instead.
+    # (wiener holds 2x band slabs + its basic-group chain temporaries: the
+    # 12M/banks budget measured 119M of the 110M VMEM limit at 17x17
+    # wiener — 9M over; 9M/banks keeps it under)
+    band_budget = (
+        (9_000_000 if wiener else 12_000_000) if banks > 1 else 4_500_000
+    ) // (banks if fused else 1)  # bytes
 
     def band_bytes(r, cc):
         bhh = _round_up((r - 1) * sp.p + halo, 8)
@@ -224,8 +233,14 @@ def build_kernel_step(
     # refs, cross-ref band accumulation in-kernel), dividing the per-step
     # dispatch count by R. The ref axis is padded to n_blocks*R with masked
     # dummy refs (zero weights).
+    # Banked-fused ref blocks are dominated by a per-block FIXED cost (the
+    # whole tile grid's band slabs are re-sliced per block: launch-cost fit
+    # at 17x17x128x128 gave 0.78 s fixed + 0.055 s/ref), so bigger blocks
+    # amortize it; the fused path's SMEM is governed by tiles_per_call
+    # below, not the two-kernel accumulate-prefetch clamp.
+    r_cap = 16 if (fused and banks > 1) else 8
     r_batch, _best = 1, None
-    for _rc in range(1, min(8, n_refs) + 1):
+    for _rc in range(1, min(r_cap, n_refs) + 1):
         _cost = _cdiv(n_refs, _rc) * (_rc + 2.0)  # R BM units + dispatch wt 2
         if _best is None or _cost < _best:
             r_batch, _best = _rc, _cost
@@ -233,9 +248,13 @@ def build_kernel_step(
     # 1MB SMEM budget even at tiles_per_batch=1 — Mosaic roughly doubles the
     # raw prefetch bytes. 17x17x128x128 RGB default overflowed at r_batch=8
     # (1.41M of 1.00M, accumulate kernel); tiles_per_batch cannot go below
-    # one, so the ref batch is the only remaining knob.
-    while r_batch > 1 and (2 + c) * cpt * sc * 4 * banks * r_batch > 330_000:
-        r_batch -= 1
+    # one, so the ref batch is the only remaining knob. (Two-kernel path
+    # only: the fused path's scalar prefetch is sized by tiles_per_call.)
+    if not fused:
+        while r_batch > 1 and (
+            (2 + c) * cpt * sc * 4 * banks * r_batch > 330_000
+        ):
+            r_batch -= 1
     n_blocks = _cdiv(n_refs, r_batch)
 
     # Fused-call tile batching: packed origins + lvl ride scalar prefetch,
@@ -388,22 +407,29 @@ def build_kernel_step(
             t, ((0, 0), (0, hp2 - hp), (0, wp2 - wp), (0, a_pad - a))
         )
 
-    def step_impl(noisy_p, match_p, sigma_c, basic_p, num0, den0, idx_blocks):
+    def prepare(noisy_p, match_p, basic_p):
+        """Per-STEP constants (ref-block-invariant): A-on-lanes tables,
+        BM planes, and the two-kernel band batches. Factored out of the
+        per-launch body: launched execution was rebuilding these every
+        launch (round-3 measurement at 17x17x128x128: the table/band
+        rebuilds dwarfed each launch's compute), so the launched runner
+        computes them ONCE per step and feeds them to every launch."""
         match0 = match_p[..., 0]
         tab = to_table(noisy_p)
-        tab_b = to_table(basic_p) if wiener else None
-        sigma_c = sigma_c.astype(dt)
-
+        tab_b = to_table(basic_p) if wiener else tab  # placeholder slot
         if use_bm_kernel:
             # every SAI plane zero-extended by nd and lane-padded, built
             # once per step (shared by every ref's BM kernel call)
             others_ext = jnp.pad(
                 match0, ((0, 0), (nd, nd), (nd, wq_bm - wp - nd))
             )
+        else:
+            others_ext = match0  # placeholder slot
 
         # bands are ref-SAI-invariant. The FUSED path slices them per tile
         # range inside its scan (an all-tile materialization OOMs HBM at
         # 9x9 defaults); the two-kernel path prebuilds per-batch inputs.
+        bands_by_batch = ()
         if not fused:
             bands_by_batch = []
             for b0 in range(0, n_tiles, tiles_per_batch):
@@ -421,6 +447,12 @@ def build_kernel_step(
                                 tab_b[:, oy : oy + bh, ox : ox + bw, l0 : l0 + kl]
                             )
                 bands_by_batch.append(jnp.concatenate(band_list, axis=0))
+            bands_by_batch = tuple(bands_by_batch)
+        return match0, tab, tab_b, others_ext, bands_by_batch
+
+    def step_impl(prepared, sigma_c, num0, den0, idx_blocks):
+        match0, tab, tab_b, others_ext, bands_by_batch = prepared
+        sigma_c = sigma_c.astype(dt)
 
         v1 = wp - k + 1
 
@@ -867,21 +899,24 @@ def build_kernel_step(
                 n_blocks * r_batch, dtype=jnp.int32
             ).reshape(n_blocks, r_batch)
             num, den = step_impl(
-                noisy_p, match_p, sigma_c, basic_p, z, z, idx
+                prepare(noisy_p, match_p, basic_p), sigma_c, z, z, idx
             )
             return _finalize_acc(num, den)
     else:
-        def step(noisy_p, match_p, sigma_c, basic_p, num, den, block0):
+        def step(prepared, sigma_c, num, den, block0):
             """Process ref-blocks [block0, block0+launch_blocks); block0 is
-            traced, so one compilation serves every launch. Refs beyond the
+            traced, so one compilation serves every launch, and `prepared`
+            = step.prepare(noisy_p, match_p, basic_p) is computed ONCE per
+            step by the caller (jitted separately) — every launch reuses
+            the tables/bands instead of rebuilding them. Refs beyond the
             real count are masked dummies (idx >= A)."""
             idx = (
                 block0 * r_batch
                 + jnp.arange(launch_blocks * r_batch, dtype=jnp.int32)
             ).reshape(launch_blocks, r_batch)
-            return step_impl(
-                noisy_p, match_p, sigma_c, basic_p, num, den, idx
-            )
+            return step_impl(prepared, sigma_c, num, den, idx)
+
+        step.prepare = prepare
 
     step.acc_shape = acc_shape
     step.acc_dtype = dt
