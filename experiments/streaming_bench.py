@@ -24,11 +24,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_probe = None
+
+
 def sync(x):
+    """Scalar-fetch fence (bench.py protocol): np.asarray(x) here would
+    ship the WHOLE output through the axon tunnel (264 MB per flagship LF
+    — it dwarfed the 1.5 s matched-preset compute when this harness was
+    first run at 9x9 scale; 5x5 outputs were small enough to hide it)."""
     import jax
 
+    global _probe
+    if _probe is None:
+        _probe = jax.jit(lambda v: v.reshape(-1)[0])
     jax.block_until_ready(x)
-    float(np.asarray(x).ravel()[0])
+    float(_probe(x))
 
 
 def main():

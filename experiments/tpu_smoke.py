@@ -160,9 +160,11 @@ def main():
     tabs = jnp.asarray(
         rng.integers(0, 25, (refs_s, th_s, tw_s, l_s)), jnp.int32
     )
+    # x-origins must be sublane-aligned (sample_doff contract: the slab
+    # DMA slices the tiled TW axis; engine.py guarantees this at build)
     orig = np.stack(
         [rng.integers(0, th_s - bh_s, n_tiles_s),
-         rng.integers(0, tw_s - bw_s, n_tiles_s)], axis=1
+         rng.integers(0, (tw_s - bw_s) // 8, n_tiles_s) * 8], axis=1
     ).astype(np.int32)
     qy = orig[:, None, 0, None, None] + rng.integers(
         0, bh_s, (n_tiles_s, refs_s, cpt_s, sc_s)

@@ -123,7 +123,11 @@ def sample_doff(tables, qyx, origins, ref_sais, *, bh: int, bw: int,
               dead lanes carry c_ang.
     qyx:      [n_tiles*R, cpt, sc] int32 packed ABSOLUTE similar-patch
               positions (qy * 2048 + qx).
-    origins:  [n_tiles, 2] int32 tile band origins (toy, tox).
+    origins:  [n_tiles, 2] int32 tile band origins (toy, tox). tox MUST be
+              a multiple of 8: the slab DMA slices the sublane-tiled TW
+              axis, and the kernel rounds tox down by (//8)*8 to make the
+              alignment provable — an unaligned tox would silently shift
+              the band (engine.py aligns tile x-origins at build time).
     ref_sais: [R] int32 SAI index of each reference in the block.
     Returns [n_tiles*R, cpt, sc, L] int32 — the kernels' doff layout.
     """
