@@ -18,6 +18,7 @@ callback so drivers can persist the HR estimate after every iteration.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from lfbm5d_tpu.config import DenoiseParams, SRParams
@@ -39,7 +40,10 @@ def run_sr(lr_lf, params: SRParams, on_iteration=None, dtype: str = "float32",
 
     Returns the HR estimate [aH, aW, scale*h, scale*w, C] (jnp array).
     """
-    lr = jnp.asarray(np.asarray(lr_lf), jnp.dtype(dtype))
+    if isinstance(lr_lf, jax.Array):  # avoid a device->host round-trip
+        lr = lr_lf.astype(jnp.dtype(dtype))
+    else:
+        lr = jnp.asarray(np.asarray(lr_lf), jnp.dtype(dtype))
     hr = upsample(lr, params.scale)
     a_h, a_w, h, w, c = hr.shape
     # One jitted pipeline serves every iteration: sigma enters only as the

@@ -80,7 +80,14 @@ def denoise_batch(
     parallel over the mesh with zero collectives inside an LF
     (SURVEY.md §5.8); per-chunk dispatch overhead is milliseconds.
     """
-    lfs = jnp.asarray(np.asarray(lfs), jnp.dtype(dtype))
+    # device arrays pass through as-is: np.asarray(lfs) here round-tripped
+    # the WHOLE batch device->host->device on every call (measured 17 s/LF
+    # through the axon tunnel at flagship scale — it was the entire
+    # "streaming overhead" of the round-3 accounting, see BASELINE.md)
+    if isinstance(lfs, jax.Array):
+        lfs = lfs.astype(jnp.dtype(dtype))
+    else:
+        lfs = jnp.asarray(np.asarray(lfs), jnp.dtype(dtype))
     b, a_h, a_w, h, w, c = lfs.shape
     fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
