@@ -70,7 +70,7 @@ def main():
     import jax
 
     from lfbm5d_tpu.config import preset_denoise_params
-    from lfbm5d_tpu.lf import psnr, synthetic_lf
+    from lfbm5d_tpu.lf import psnr, psnr_device, synthetic_lf
     from lfbm5d_tpu.lf.noise import add_noise_np
     from lfbm5d_tpu.pipeline import run_bm5d
 
@@ -144,8 +144,10 @@ def main():
     mpix = a_h * a_w * h * w / 1e6
     value = mpix / dt
     p_noisy = psnr(np.clip(noisy, 0, 255), clean)
-    p_final = psnr(np.clip(np.asarray(final), 0, 255), clean)
-    p_basic = psnr(np.clip(np.asarray(basic), 0, 255), clean)
+    # PSNR reductions on-device: np.asarray(final) would pull 264 MB
+    # through the ~3 MB/s tunnel download (~85 s per array at 9x9 scale)
+    p_final = psnr_device(final, clean)
+    p_basic = psnr_device(basic, clean)
 
     # metric labels the ACTUAL measured configuration
     if args.full:

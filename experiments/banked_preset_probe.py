@@ -44,7 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from lfbm5d_tpu.config import preset_denoise_params
-    from lfbm5d_tpu.lf import psnr, synthetic_lf
+    from lfbm5d_tpu.lf import psnr, psnr_device, synthetic_lf
     from lfbm5d_tpu.lf.noise import add_noise_np
     from lfbm5d_tpu.pipeline import run_bm5d
     from lfbm5d_tpu.pipeline.denoise import _step_slots
@@ -74,8 +74,6 @@ def main():
         float(probe(final))
         ts.append(time.time() - t0)
 
-    # one bounded host fetch for PSNR (tunnel: ~3 MB/s download)
-    final_np = np.asarray(final.astype(jnp.float32))
     mpix = args.a * args.a * h * w / 1e6
     print(json.dumps({
         "preset": args.preset, "shape": [args.a, args.a, h, w, 3],
@@ -83,7 +81,7 @@ def main():
         "s_per_lf": round(min(ts), 3), "samples": [round(t, 3) for t in ts],
         "mpix_s": round(mpix / min(ts), 4),
         "compile_first_s": round(compile_first, 1),
-        "psnr_db": round(psnr(np.clip(final_np, 0, 255), clean), 3),
+        "psnr_db": round(psnr_device(final, clean), 3),
         "psnr_noisy_db": round(psnr(np.clip(noisy, 0, 255), clean), 3),
     }), flush=True)
 

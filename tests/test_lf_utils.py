@@ -1,5 +1,6 @@
 """Unit tests for L1-equivalents: color, padding, grids, metrics, io, synth."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -74,6 +75,19 @@ class TestMetrics:
         assert rmse(a, b) == pytest.approx(10.0)
         assert psnr(a, b) == pytest.approx(20 * np.log10(25.5))
         assert psnr(a, a) == float("inf")
+
+    def test_psnr_device_matches_host(self):
+        from lfbm5d_tpu.lf.metrics import psnr_device
+
+        rng = np.random.default_rng(3)
+        clean = rng.random((2, 2, 64, 96, 3)) * 255.0
+        pred = clean + rng.normal(0, 12.0, clean.shape)  # incl. out-of-range
+        host = psnr(np.clip(pred, 0, 255), clean)
+        dev = psnr_device(jnp.asarray(pred, jnp.float32), clean)
+        assert dev == pytest.approx(host, abs=2e-3)
+        assert psnr_device(jnp.asarray(clean, jnp.float32), clean) == float(
+            "inf"
+        )
 
 
 class TestNoiseSynthIO:
