@@ -34,7 +34,14 @@ import numpy as np
 
 from lfbm5d_tpu import config as _config
 from lfbm5d_tpu.config import DenoiseParams, SRParams, StepParams
-from lfbm5d_tpu.lf import load_lf, psnr, rmse, save_lf
+from lfbm5d_tpu.lf import (
+    fetch_rounded,
+    load_lf,
+    psnr,
+    psnr_device,
+    psnr_grid_device,
+    save_lf,
+)
 from lfbm5d_tpu.lf.noise import add_noise_np
 
 
@@ -177,17 +184,24 @@ def cmd_denoise(ns) -> int:
     with timer.stage("denoise"):
         basic, final = run_bm5d(lf, params, engine=ns.engine)
         jax.block_until_ready(final)
-    basic = np.asarray(basic)
-    final = np.asarray(final)
 
     with timer.stage("save"):
+        # fetch_rounded quantizes on-device so the device->host transfer is
+        # uint8/uint16-sized; metrics below reduce on-device (psnr_device) —
+        # a float fetch of a flagship LF costs ~85 s through the axon tunnel
         if ns.basic:
-            save_lf(basic, ns.basic, ns.pattern, ns.s_offset, ns.t_offset,
-                    ns.bit_depth)
-        save_lf(final, ns.output, ns.pattern, ns.s_offset, ns.t_offset,
-                ns.bit_depth)
+            save_lf(fetch_rounded(basic, ns.bit_depth), ns.basic, ns.pattern,
+                    ns.s_offset, ns.t_offset, ns.bit_depth)
+        save_lf(fetch_rounded(final, ns.bit_depth), ns.output, ns.pattern,
+                ns.s_offset, ns.t_offset, ns.bit_depth)
         if ns.diff:
-            save_lf(np.clip(final - lf + 128.0, 0, 255), ns.diff, ns.pattern,
+            import jax.numpy as jnp
+
+            diff = jnp.clip(
+                jnp.asarray(final) - jnp.asarray(lf, jnp.float32) + 128.0,
+                0, 255,
+            )
+            save_lf(fetch_rounded(diff, ns.bit_depth), ns.diff, ns.pattern,
                     ns.s_offset, ns.t_offset, ns.bit_depth)
 
     mpix = lf.shape[0] * lf.shape[1] * lf.shape[2] * lf.shape[3] / 1e6
@@ -205,16 +219,18 @@ def cmd_denoise(ns) -> int:
     }
     if clean is not None:
         report["psnr_noisy_db"] = round(psnr(np.clip(lf, 0, 255), clean), 3)
-        report["psnr_basic_db"] = round(psnr(np.clip(basic, 0, 255), clean), 3)
-        report["psnr_final_db"] = round(psnr(np.clip(final, 0, 255), clean), 3)
-        report["rmse_final"] = round(rmse(np.clip(final, 0, 255), clean), 4)
+        p_basic = psnr_device(basic, clean)
+        p_final = psnr_device(final, clean)
+        report["psnr_basic_db"] = round(p_basic, 3)
+        report["psnr_final_db"] = round(p_final, 3)
+        # exact inverse of the PSNR definition (psnr = 20 log10(255/rmse))
+        report["rmse_final"] = round(
+            0.0 if p_final == float("inf")
+            else 255.0 * 10.0 ** (-p_final / 20.0), 4)
         if ns.per_sai_psnr:
+            grid = psnr_grid_device(final, clean)
             report["psnr_per_sai_db"] = [
-                [
-                    round(psnr(np.clip(final[s, t], 0, 255), clean[s, t]), 2)
-                    for t in range(final.shape[1])
-                ]
-                for s in range(final.shape[0])
+                [round(float(v), 2) for v in row] for row in grid
             ]
     _log(ns, report)
     return 0
@@ -250,13 +266,14 @@ def cmd_sr(ns) -> int:
 
     def checkpoint(i, hr):
         if ns.checkpoint:
-            save_lf(np.asarray(hr), f"{ns.checkpoint}/iter_{i:02d}",
+            save_lf(fetch_rounded(hr, ns.bit_depth),
+                    f"{ns.checkpoint}/iter_{i:02d}",
                     ns.pattern, ns.s_offset, ns.t_offset, ns.bit_depth)
 
     with timer.stage("sr"):
         hr = run_sr(lf, params, on_iteration=checkpoint, engine=ns.engine)
         jax.block_until_ready(hr)
-    hr = np.asarray(hr)
+    hr = fetch_rounded(hr, ns.bit_depth)
     with timer.stage("save"):
         save_lf(hr, ns.output, ns.pattern, ns.s_offset, ns.t_offset,
                 ns.bit_depth)

@@ -45,3 +45,26 @@ def psnr_device(pred, ref, peak: float = 255.0) -> float:
     if m == 0:
         return float("inf")
     return float(10.0 * np.log10(peak * peak / m))
+
+
+_GRID_JIT = None
+
+
+def psnr_grid_device(pred, ref, peak: float = 255.0) -> np.ndarray:
+    """Per-SAI PSNR grid [aH, aW] with the reductions on the accelerator
+    (one pass; only aH*aW scalars are fetched). Same clipping convention
+    as psnr_device."""
+    global _GRID_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _GRID_JIT is None:
+        def _grid(p, r, pk):
+            d = jnp.clip(p.astype(jnp.float32), 0.0, pk) - r.astype(
+                jnp.float32)
+            return jnp.mean(jnp.square(d), axis=(2, 3, 4))
+        _GRID_JIT = jax.jit(_grid)
+    m = np.asarray(_GRID_JIT(pred, jnp.asarray(np.asarray(ref)), peak),
+                   dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        return 10.0 * np.log10(peak * peak / m)

@@ -29,11 +29,15 @@ def test_denoise_cli_with_noise_synthesis(lf_dir, tmp_path, capsys):
         "denoise", "--input", str(d), "--aheight", "2", "--awidth", "2",
         "--sigma-add", "20", "--output", str(tmp_path / "out"),
         "--basic", str(tmp_path / "basic"), "--diff", str(tmp_path / "diff"),
-        "--json", *TINY,
+        "--per-sai-psnr", "--json", *TINY,
     ])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["psnr_final_db"] > rep["psnr_noisy_db"] + 2.0
+    grid = np.asarray(rep["psnr_per_sai_db"])
+    assert grid.shape == (2, 2)
+    # per-SAI values bracket the aggregate (0.02 = reported rounding slack)
+    assert grid.min() - 0.02 <= rep["psnr_final_db"] <= grid.max() + 0.02
     out = load_lf(str(tmp_path / "out"), "SAI_%02d_%02d.png", 2, 2)
     assert out.shape == clean.shape
     # basic checkpoint written (SURVEY §5.4)

@@ -106,6 +106,36 @@ class TestNoiseSynthIO:
         b = lf[1, 2, 2:10, 0:8, 0]  # shifted by disp_bg * 1 = 2 in x
         np.testing.assert_allclose(a, b, atol=1e-9)
 
+    @pytest.mark.parametrize("depth", [8, 16])
+    def test_fetch_rounded_save_parity(self, tmp_path, depth):
+        from lfbm5d_tpu.lf import fetch_rounded
+
+        lf = synthetic_lf(2, 2, 16, 24, channels=3, seed=5)
+        lf = lf + np.random.default_rng(0).random(lf.shape)  # fractional
+        dev = jnp.asarray(lf, jnp.float32)
+        d_ref, d_q = str(tmp_path / "ref"), str(tmp_path / "q")
+        save_lf(np.asarray(dev), d_ref, "SAI_%02d_%02d.png", bit_depth=depth)
+        save_lf(fetch_rounded(dev, depth), d_q, "SAI_%02d_%02d.png",
+                bit_depth=depth)
+        a = load_lf(d_ref, "SAI_%02d_%02d.png", 2, 2)
+        b = load_lf(d_q, "SAI_%02d_%02d.png", 2, 2)
+        np.testing.assert_array_equal(a, b)
+        # host arrays pass through untouched
+        np.testing.assert_array_equal(fetch_rounded(lf, depth), lf)
+
+    def test_psnr_grid_device_matches_host(self):
+        from lfbm5d_tpu.lf import psnr_grid_device
+
+        rng = np.random.default_rng(4)
+        clean = rng.random((2, 3, 24, 32, 3)) * 255.0
+        pred = clean + rng.normal(0, 10.0, clean.shape)
+        grid = psnr_grid_device(jnp.asarray(pred, jnp.float32), clean)
+        assert grid.shape == (2, 3)
+        for s in range(2):
+            for t in range(3):
+                host = psnr(np.clip(pred[s, t], 0, 255), clean[s, t])
+                assert grid[s, t] == pytest.approx(host, abs=2e-3)
+
     @pytest.mark.parametrize("depth,channels", [(8, 3), (16, 1)])
     def test_io_roundtrip(self, tmp_path, depth, channels):
         lf = synthetic_lf(2, 3, 9, 11, channels=channels, seed=2)
