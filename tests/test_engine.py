@@ -293,6 +293,36 @@ def test_banked_fused_runner_matches_xla_f64():
     assert np.abs(np.asarray(fx) - np.asarray(fb)).max() < 1e-9
 
 
+def test_banked_fused_p_ang_matches_xla_f64():
+    """Banked grid × p_ang subsampling — the exact configuration class the
+    17×17 `matched` headline row runs (BASELINE.md round-3 preset table:
+    one banked-fused program at 51k slots/step). The banked runner with
+    p_ang=4 must reproduce the XLA path (itself oracle-exact) in f64."""
+    import jax.numpy as jnp
+
+    from lfbm5d_tpu.pipeline.denoise import _run_bm5d_banked_fused
+
+    tiny = dict(n_sim=4, n_search=2, n_disp=1, k=4, p=3, p_ang=4)
+    p = DenoiseParams(
+        sigma=20.0,
+        ht=StepParams(tau_match=2500.0, **tiny),
+        wiener=StepParams(tau_match=400.0, **tiny),
+        chunk=32,
+    )
+    clean = synthetic_lf(12, 12, 14, 14, channels=1, seed=16)  # 144 SAIs
+    noisy = add_noise_np(clean, 20.0, seed=17)
+    bx, fx = run_bm5d(noisy, p, dtype="float64", engine="xla")
+    bb, fb = _run_bm5d_banked_fused(
+        jnp.asarray(noisy, jnp.float64), p, "float64"
+    )
+    assert np.abs(np.asarray(bx) - np.asarray(bb)).max() < 1e-9
+    assert np.abs(np.asarray(fx) - np.asarray(fb)).max() < 1e-9
+    # subsampled refs still cover every SAI on the banked grid
+    assert psnr(np.clip(np.asarray(fb), 0, 255), clean) > psnr(
+        np.clip(noisy, 0, 255), clean
+    )
+
+
 def test_banked_fused_engine_exact_f64_experimental():
     """EXPERIMENTAL banked-fused kernel (one program across 128-lane banks,
     probed in experiments/fused_banked_probe.py): f64-exact vs the XLA path
