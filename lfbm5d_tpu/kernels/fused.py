@@ -220,18 +220,23 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 var > 0, 1.0 / jnp.maximum(var, 1e-30), jnp.asarray(1.0, wdt)
             )
 
-        # ---- weighted rows back to scratch: num = est * wgt * mask * kaiser,
-        # den = wgt * mask * kaiser (lane-invariant across the patch) ----
+        # ---- weighted rows back to scratch: num = est * wgt * mask * kaiser.
+        # The den side is DEFERRED: den = sum_slots wgt*mask * kaiser placed
+        # at the slot's per-lane offset == conv(W, kaiser) where W scatters
+        # just the per-slot weight scalar at the patch origin. The kernel
+        # therefore emits W in the den band (a (2nd+1)^2 one-hot RMW per slot
+        # instead of a k x k placed-patch mux + RMW — ~40% of the aggregation
+        # VPU work) and the engine applies ONE separable Kaiser conv to the
+        # global den accumulator at finalize (engine._finalize_acc).
         d_all = doff_ref[0, :, :]  # [sc, L]
         mskv = (d_all < sent).astype(wdt).reshape(gpc, n_sim, 1, l)
         wm = (wgt * mskv).astype(dt)  # [GPC, N, 1, L]
         kai_b = jnp.broadcast_to(kai_ref[...], (k, k, l)).reshape(1, 1, kk, l)
         scr_ref[...] = (est * wm * kai_b).reshape(sc * kk, l)
-        # den rows (wgt * mask * kaiser, lane-invariant patch values) reuse
-        # the second scratch: in Wiener mode the basic group it held has
-        # already been consumed by fwd(g_b).
-        den_rows = jnp.broadcast_to(wm * kai_b, (gpc, n_sim, kk, l))
-        scrb_ref[...] = den_rows.reshape(sc * kk, l)
+        # per-slot weight rows [sc, L] reuse the head of the second scratch:
+        # in Wiener mode the basic group it held has already been consumed
+        # by fwd(g_b).
+        scrb_ref[pl.ds(0, sc), :] = wm.reshape(sc, l)
 
         # ---- aggregation: per-lane placement + race-free RMW ----
         def place(patch, dy, dx):
@@ -247,6 +252,9 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
 
         out_dt = _out_dtype(dt)
 
+        iy_oh = jax.lax.broadcasted_iota(jnp.int32, (nsel, nsel, l), 0)
+        ix_oh = jax.lax.broadcasted_iota(jnp.int32, (nsel, nsel, l), 1)
+
         def agg_body(s, _):
             y, x = slot_pos(s)
             d = doff_ref[0, s, :]
@@ -254,13 +262,18 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             dy = (dm // nsel)[None, None, :]
             dx = (dm - (dm // nsel) * nsel)[None, None, :]
             pn = scr_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
-            pd = scrb_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
             sup_n = place(pn, dy, dx).astype(out_dt)
-            sup_d = place(pd, dy, dx).astype(out_dt)
             cur_n = num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
             num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
-            cur_d = den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
-            den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_d + sup_d
+            # deferred den: scatter the slot's weight scalar through a
+            # (2nd+1)^2 one-hot at the per-lane placement offset; masked
+            # slots carry weight 0 so the sentinel clamp is invisible.
+            w_row = scrb_ref[pl.ds(s, 1), :]  # [1, L]
+            sup_w = jnp.where(
+                (iy_oh == dy) & (ix_oh == dx), w_row.reshape(1, 1, l), 0
+            ).astype(out_dt)
+            cur_d = den_ref[0, pl.ds(y, nsel), pl.ds(x, nsel), :]
+            den_ref[0, pl.ds(y, nsel), pl.ds(x, nsel), :] = cur_d + sup_w
             return 0
 
         jax.lax.fori_loop(0, sc, agg_body, 0)
@@ -289,7 +302,11 @@ def fused_group_step(
     k2f/k2i: [k*k, k*k]; k4f/k4i: [L, L]; stf/sti: [depth, N, N] stack
       tables; kaiser: [k, k, 1]. All in the group dtype.
     Returns (num_bands, den_bands): [n_tiles*planes, bh, bw, L], accumulated
-    across the full refs x chunks grid (race-free sequential RMW).
+    across the full refs x chunks grid (race-free sequential RMW). The den
+    band holds the DEFERRED weight field W (per-slot weight scalars at the
+    placed patch origins, pre-Kaiser): the true denominator is the separable
+    Kaiser convolution of W, applied once to the global accumulator by
+    engine._finalize_acc.
     """
     # The in-kernel angular matmul contracts the MATRIX'S LEADING axis
     # (out[..., q] = sum_L spec[..., L] * M[L, q]) — the only probed-safe
@@ -569,10 +586,12 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
         mskv = (d0 < sent).astype(wdt).reshape(gpc, n_sim, 1, l)
         wm = (wgt * mskv).astype(dt)
         kai_b = jnp.broadcast_to(kai_ref[...], (k, k, l)).reshape(1, 1, kk, l)
-        den_rows = jnp.broadcast_to(wm * kai_b, (gpc, n_sim, kk, l))
         for b in range(banks):
             scr_refs[b][...] = (est[b] * wm * kai_b).reshape(sc * kk, l)
-            scrb_refs[b][...] = den_rows.reshape(sc * kk, l)
+        # deferred den (see fused_group_step): per-slot weight rows only;
+        # the Kaiser spread is one separable conv at finalize. Weights are
+        # slot-uniform across banks, so one copy in scratch 0 serves all.
+        scrb_refs[0][pl.ds(0, sc), :] = wm.reshape(sc, l)
 
         def place(patch, dy, dx):
             accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
@@ -587,21 +606,26 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
 
         out_dt = _out_dtype(dt)
 
+        iy_oh = jax.lax.broadcasted_iota(jnp.int32, (nsel, nsel, l), 0)
+        ix_oh = jax.lax.broadcasted_iota(jnp.int32, (nsel, nsel, l), 1)
+
         def agg_body(s, _):
             y, x = slot_pos(s)
+            w_row = scrb_refs[0][pl.ds(s, 1), :].reshape(1, 1, l)
             for b in range(banks):
                 d = doff_ref[0, b * sc + s, :]
                 dm = jnp.minimum(d, sent - 1)
                 dy = (dm // nsel)[None, None, :]
                 dx = (dm - (dm // nsel) * nsel)[None, None, :]
                 pn = scr_refs[b][pl.ds(s * kk, kk), :].reshape(k, k, l)
-                pd = scrb_refs[b][pl.ds(s * kk, kk), :].reshape(k, k, l)
                 sup_n = place(pn, dy, dx).astype(out_dt)
-                sup_d = place(pd, dy, dx).astype(out_dt)
                 cur_n = num_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :]
                 num_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
-                cur_d = den_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :]
-                den_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_d + sup_d
+                sup_w = jnp.where(
+                    (iy_oh == dy) & (ix_oh == dx), w_row, 0
+                ).astype(out_dt)
+                cur_d = den_refs[b][0, pl.ds(y, nsel), pl.ds(x, nsel), :]
+                den_refs[b][0, pl.ds(y, nsel), pl.ds(x, nsel), :] = cur_d + sup_w
             return 0
 
         jax.lax.fori_loop(0, sc, agg_body, 0)
@@ -623,7 +647,9 @@ def fused_group_step_banked(
     doff: [n_tiles*refs, n_chunks, Sc, banks, L] (sentinel rows sentinel in
     EVERY bank). k4f/k4i: the FULL [banks*L, banks*L] angular matrices in
     forward_flat orientation (blocks are transposed internally). Returns
-    (num_bands, den_bands): LISTS of per-bank [n_tiles*planes, bh, bw, L].
+    (num_bands, den_bands): LISTS of per-bank [n_tiles*planes, bh, bw, L];
+    den bands hold the DEFERRED weight field W (see fused_group_step) —
+    finalize applies the separable Kaiser conv.
     """
     banks = len(bands_n)
     nb, bh_, bw_, l = bands_n[0].shape

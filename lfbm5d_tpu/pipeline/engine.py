@@ -884,8 +884,32 @@ def build_kernel_step(
         (num, den), _ = lax.scan(ref_pass, (num0, den0), idx_blocks)
         return num, den
 
+    kai_1d = tuple(float(v) for v in tm.kaiser_window_1d(k))
+
+    def _kaiser_conv(wf):
+        """Deferred-den finalize (fused kernels): den = conv(W, kaiser).
+
+        The fused kernels scatter only the per-slot weight scalar at each
+        placed patch origin (see kernels/fused.py agg_body); the k x k
+        Kaiser spread every slot shares is applied HERE, once per step, as
+        a separable 2*k-tap shifted-add over the global accumulator — a few
+        ms of HBM traffic replacing a k x k placed-patch mux + RMW per slot
+        inside the kernel."""
+        for axis in (1, 2):
+            acc = wf * kai_1d[0]
+            for i in range(1, k):
+                sl = [slice(None)] * 4
+                sl[axis] = slice(0, wf.shape[axis] - i)
+                pc = [(0, 0)] * 4
+                pc[axis] = (i, 0)
+                acc = acc + jnp.pad(wf[tuple(sl)], pc) * kai_1d[i]
+            wf = acc
+        return wf
+
     def _finalize_acc(num, den):
         """Internal [C, Hp2, Wp2, A_pad] -> the [A, Hp, Wp, C] contract."""
+        if fused:
+            den = _kaiser_conv(den)
         num = jnp.transpose(num[:, :hp, :wp, :a], (3, 1, 2, 0))
         den = jnp.transpose(den[:, :hp, :wp, :a], (3, 1, 2, 0))
         return num, den

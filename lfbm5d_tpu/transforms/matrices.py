@@ -167,7 +167,14 @@ def stack_matrices(name: str, n_max: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @lru_cache(maxsize=None)
+def kaiser_window_1d(k: int, beta: float = 2.0) -> np.ndarray:
+    """1-D Kaiser factor: kaiser_window(k) == outer(w, w). The fused
+    engine's deferred-den finalize convolves with this factor separably."""
+    return np.kaiser(k, beta)
+
+
+@lru_cache(maxsize=None)
 def kaiser_window(k: int, beta: float = 2.0) -> np.ndarray:
     """k x k Kaiser aggregation window, beta=2 (SURVEY.md §2.10.8)."""
-    w = np.kaiser(k, beta)
+    w = kaiser_window_1d(k, beta)
     return np.outer(w, w)
