@@ -47,12 +47,18 @@ def synthetic_lf(
     lf = np.zeros((a_h, a_w, h, w, channels), dtype=np.float64)
     cy, cx = (a_h - 1) / 2.0, (a_w - 1) / 2.0
 
+    # foreground occupies a centered ellipse of the frame (channel-invariant;
+    # hoisted out of the loop — values identical to the original per-channel
+    # recomputation)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((yy - h / 2) / (h / 3.0)) ** 2 + ((xx - w / 2) / (w / 3.0)) ** 2 < 1.0
+
     for c in range(channels):
         bg = _smooth_texture(rng, ch, cw, blur=3) * 220.0 + 20.0
         fg = _smooth_texture(rng, ch, cw, blur=2) * 200.0 + 40.0
-        # foreground occupies a centered ellipse of the frame
-        yy, xx = np.mgrid[0:h, 0:w]
-        mask = ((yy - h / 2) / (h / 3.0)) ** 2 + ((xx - w / 2) / (w / 3.0)) ** 2 < 1.0
+        # per-channel contiguous buffer: writing each SAI into the strided
+        # lf[s, t, :, :, c] view measured ~12 s at flagship size
+        chan = np.empty((a_h, a_w, h, w), dtype=np.float64)
         for s in range(a_h):
             for t in range(a_w):
                 dy_bg = int(round(disp_bg * (s - cy)))
@@ -62,5 +68,7 @@ def synthetic_lf(
                 o = max_disp + 1
                 bg_view = bg[o + dy_bg : o + dy_bg + h, o + dx_bg : o + dx_bg + w]
                 fg_view = fg[o + dy_fg : o + dy_fg + h, o + dx_fg : o + dx_fg + w]
-                lf[s, t, :, :, c] = np.where(mask, fg_view, bg_view)
-    return np.clip(lf, 0.0, 255.0)
+                np.copyto(chan[s, t], np.where(mask, fg_view, bg_view))
+        lf[..., c] = chan
+    np.clip(lf, 0.0, 255.0, out=lf)  # in-place: the copying clip was ~10 s
+    return lf
