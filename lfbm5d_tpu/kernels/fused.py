@@ -53,6 +53,72 @@ def _shrink_dtypes(dt):
     return jnp.float32, jnp.float32
 
 
+_SQRT_HALF = 0.7071067811865476
+
+
+def _stack_butterfly_fwd(x, lvls, mode, acc_dt, cdt):
+    """Forward stack transform as lvl-gated butterflies (axis 1 of
+    [GPC, N, P, L]).
+
+    Haar and Hadamard are butterfly transforms; the matmul form pads their
+    contraction dim (N=8/16) to the MXU's 128, making the stack matmul cost
+    as much as the dense angular matmul for 16x fewer true FLOPs. Butterflies
+    run the same transform as O(N log N) VPU adds. Stage j (block size 2**j)
+    applies to a group iff its lvl >= j, reproducing stack_matrices' padded
+    per-power-of-two semantics exactly: slots beyond 2**lvl arrive as exact
+    zeros (sentinel-masked extraction), so skipped/untouched rows match the
+    zero rows/columns of the padded matrices.
+    """
+    gpc, n, p, l = x.shape
+    c = jnp.asarray(_SQRT_HALF, acc_dt)
+    # per-group blocks with scalar-predicate selects: a vector gate
+    # ([GPC] bool -> [GPC,1,1,1]) is an unsupported Mosaic shape cast;
+    # scalar where over [N, P, L] blocks is the kernel's proven idiom.
+    xs = [x[g].astype(acc_dt) for g in range(gpc)]
+    for j in range(n.bit_length() - 1, 0, -1):
+        m = 1 << j
+        for g in range(gpc):
+            xg = xs[g]
+            if mode == "haar":
+                # recursion: y = [H_{m/2} @ pair_sums, pair_diffs]
+                head = xg[:m].reshape(m // 2, 2, p, l)
+                a, b = head[:, 0], head[:, 1]
+                new_head = jnp.concatenate([(a + b) * c, (a - b) * c], axis=0)
+                x2 = (
+                    jnp.concatenate([new_head, xg[m:]], axis=0)
+                    if m < n else new_head
+                )
+            else:  # hadamard: y = [(top+bot), (top-bot)] / sqrt(2) per block
+                blk = xg.reshape(n // m, m, p, l)
+                a, b = blk[:, : m // 2], blk[:, m // 2 :]
+                x2 = jnp.concatenate(
+                    [(a + b) * c, (a - b) * c], axis=1
+                ).reshape(n, p, l)
+            xs[g] = jnp.where(lvls[g] >= j, x2, xg)
+    return jnp.stack(xs).astype(cdt)
+
+
+def _stack_butterfly_inv(x, lvls, mode, acc_dt, cdt):
+    """Inverse (transpose) of _stack_butterfly_fwd. Hadamard is symmetric
+    (H^-1 == H); Haar runs the reversed stage order with interleaving."""
+    gpc, n, p, l = x.shape
+    if mode == "hadamard":
+        return _stack_butterfly_fwd(x, lvls, mode, acc_dt, cdt)
+    c = jnp.asarray(_SQRT_HALF, acc_dt)
+    xs = [x[g].astype(acc_dt) for g in range(gpc)]
+    for j in range(1, n.bit_length()):
+        m = 1 << j
+        for g in range(gpc):
+            xg = xs[g]
+            s, d = xg[: m // 2], xg[m // 2 : m]
+            inter = jnp.stack(
+                [(s + d) * c, (s - d) * c], axis=1
+            ).reshape(m, p, l)
+            x2 = jnp.concatenate([inter, xg[m:]], axis=0) if m < n else inter
+            xs[g] = jnp.where(lvls[g] >= j, x2, xg)
+    return jnp.stack(xs).astype(cdt)
+
+
 def _out_dtype(dt):
     """Band accumulator dtype: bf16 groups still accumulate in f32 (hundreds
     of RMW adds per pixel would lose ~3 significant bits per doubling in
@@ -62,7 +128,8 @@ def _out_dtype(dt):
 
 def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                  planes: int, refs: int, lambda_3d: float, wiener: bool,
-                 use_sd: bool, a_live: int, dt, cdt):
+                 use_sd: bool, a_live: int, dt, cdt,
+                 stack_mode: str = "matmul"):
     """dt: mux/scratch dtype (f32/f64); cdt: transform-chain dtype — bf16
     runs the matmuls at MXU bf16 rate with f32 accumulation while the
     extract/aggregate muxes stay in dt (full-bf16 muxing measured 1.75x
@@ -141,8 +208,9 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             return m
 
         lvls = [lvl_ref[i_meta, j, g] for g in range(gpc)]
-        m5f = jnp.stack([sel(stf_ref, lv) for lv in lvls])  # [GPC, N, N]
-        m5i = jnp.stack([sel(sti_ref, lv) for lv in lvls])
+        if stack_mode == "matmul":
+            m5f = jnp.stack([sel(stf_ref, lv) for lv in lvls])  # [GPC, N, N]
+            m5i = jnp.stack([sel(sti_ref, lv) for lv in lvls])
 
         # ---- transform chain (probed in experiments/fused_chain_probe.py;
         # op order matches transforms.flat.forward_flat/inverse_flat) ----
@@ -151,14 +219,24 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                                     preferred_element_type=acc_dt)
             return r.astype(cdt)
 
+        def stack_fwd(spec):
+            if stack_mode == "matmul":
+                return dg(m5f, spec, (((2,), (1,)), ((0,), (0,))))
+            return _stack_butterfly_fwd(spec, lvls, stack_mode, acc_dt, cdt)
+
+        def stack_inv(spec):
+            if stack_mode == "matmul":
+                return dg(m5i, spec, (((2,), (1,)), ((0,), (0,))))
+            return _stack_butterfly_inv(spec, lvls, stack_mode, acc_dt, cdt)
+
         def fwd(g4):
             spec = dg(k2f_ref[...], g4, (((1,), (2,)), ((), ())))
             spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
             spec = jnp.transpose(spec, (1, 2, 0, 3))  # [GPC, N, P, L]
-            return dg(m5f, spec, (((2,), (1,)), ((0,), (0,))))
+            return stack_fwd(spec)
 
         def inv(spec):
-            est = dg(m5i, spec, (((2,), (1,)), ((0,), (0,))))
+            est = stack_inv(spec)
             est = dg(est, k4i_ref[...], (((3,), (0,)), ((), ())))
             est = dg(k2i_ref[...], est, (((1,), (2,)), ((), ())))
             return jnp.transpose(est, (1, 2, 0, 3))  # [GPC, N, P, L]
@@ -287,8 +365,15 @@ def fused_group_step(
     *, bh: int, bw: int, k: int, nd: int, n_sim: int,
     lambda_3d: float, wiener: bool, use_sd: bool, a_live: int,
     planes: int, refs: int, interpret: bool = False,
+    stack_mode: str = "matmul",
 ):
     """One fused group-stage pass over all tiles of a ref-block.
+
+    stack_mode: 'matmul' applies the stf/sti stack tables by batched matmul;
+    'haar' / 'hadamard' run the stack transform as lvl-gated in-kernel
+    butterflies instead (same results up to float reassociation) — the
+    matmul form pads the N=8/16 contraction to the MXU's 128 and costs as
+    much as the dense angular matmul (~1/3 of the chain's padded FLOPs).
 
     bands_n/bands_b: [n_tiles*planes, bh, bw, L] noisy / basic pixel slabs,
       SAIs on lanes (L=128 compiled; any width in interpret mode). bands_b
@@ -330,7 +415,7 @@ def fused_group_step(
 
     kernel = _make_kernel(
         k, nd, sc, l, n_sim, depth, planes, refs, lambda_3d, wiener, use_sd,
-        a_live, dt, cdt,
+        a_live, dt, cdt, stack_mode,
     )
 
     def _band_idx(i, j, *_):
@@ -402,7 +487,7 @@ def fused_group_step(
 def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
                         depth: int, planes: int, refs: int, banks: int,
                         lambda_3d: float, wiener: bool, use_sd: bool,
-                        a_live: int, dt, cdt):
+                        a_live: int, dt, cdt, stack_mode: str = "matmul"):
     """Banked fused kernel for angular grids spanning several 128-lane banks
     (probed in experiments/fused_banked_probe.py): per-bank band refs and
     scratches, a bank-looped angular matmul (banks^2 [*,L]x[L,L] products),
@@ -477,13 +562,24 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
             return m
 
         lvls = [lvl_ref[i_meta, j, g] for g in range(gpc)]
-        m5f = jnp.stack([sel(stf_ref, lv) for lv in lvls])
-        m5i = jnp.stack([sel(sti_ref, lv) for lv in lvls])
+        if stack_mode == "matmul":
+            m5f = jnp.stack([sel(stf_ref, lv) for lv in lvls])
+            m5i = jnp.stack([sel(sti_ref, lv) for lv in lvls])
 
         def dg(a_, b_, dims):
             r = jax.lax.dot_general(a_, b_, dims,
                                     preferred_element_type=acc_dt)
             return r.astype(cdt)
+
+        def stack_fwd(sp_):
+            if stack_mode == "matmul":
+                return dg(m5f, sp_, (((2,), (1,)), ((0,), (0,))))
+            return _stack_butterfly_fwd(sp_, lvls, stack_mode, acc_dt, cdt)
+
+        def stack_inv(sp_):
+            if stack_mode == "matmul":
+                return dg(m5i, sp_, (((2,), (1,)), ((0,), (0,))))
+            return _stack_butterfly_inv(sp_, lvls, stack_mode, acc_dt, cdt)
 
         def fwd(g_list):
             s2 = [dg(k2f_ref[...], g, (((1,), (2,)), ((), ())))
@@ -499,12 +595,11 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
             out = []
             for bo in range(banks):
                 sp_ = jnp.transpose(s4[bo], (1, 2, 0, 3))  # [gpc, N, P, L]
-                out.append(dg(m5f, sp_, (((2,), (1,)), ((0,), (0,)))))
+                out.append(stack_fwd(sp_))
             return out
 
         def inv(spec_list):
-            s5 = [dg(m5i, sp_, (((2,), (1,)), ((0,), (0,))))
-                  for sp_ in spec_list]  # [gpc, N, P, L]
+            s5 = [stack_inv(sp_) for sp_ in spec_list]  # [gpc, N, P, L]
             out = []
             for bo in range(banks):
                 acc = dg(s5[0], k4i_blk[0 * banks + bo][...],
@@ -639,6 +734,7 @@ def fused_group_step_banked(
     *, bh: int, bw: int, k: int, nd: int, n_sim: int,
     lambda_3d: float, wiener: bool, use_sd: bool, a_live: int,
     planes: int, refs: int, interpret: bool = False,
+    stack_mode: str = "matmul",
 ):
     """Banked fused pass: like fused_group_step for angular grids spanning
     `banks = len(bands_n)` 128-lane banks.
@@ -679,7 +775,7 @@ def fused_group_step_banked(
 
     kernel = _make_banked_kernel(
         k, nd, sc, l, n_sim, depth, planes, refs, banks, lambda_3d, wiener,
-        use_sd, a_live, dt, cdt,
+        use_sd, a_live, dt, cdt, stack_mode,
     )
 
     def _band_idx(i, j, *_):

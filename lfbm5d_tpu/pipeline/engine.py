@@ -332,6 +332,14 @@ def build_kernel_step(
     # while bands / mux / kaiser weighting / accumulators stay in dt
     # (full-bf16 muxing measured 1.75x slower; see docs/DESIGN_NOTES.md).
     gdt = jnp.dtype(group_dtype) if group_dtype else dt
+    # Stack-axis transform inside the fused kernel: Haar/Hadamard run as
+    # lvl-gated butterflies (kernels/fused.py) — the matmul form pads the
+    # N=8/16 contraction to the MXU's 128, costing as much as the dense
+    # angular matmul for 16x fewer true FLOPs. LFBM5D_STACK_MODE=matmul
+    # forces the matmul form for A/B.
+    stack_mode = sp.tau_5d if sp.tau_5d in ("haar", "hadamard") else "matmul"
+    if os.environ.get("LFBM5D_STACK_MODE") == "matmul":
+        stack_mode = "matmul"
     kaiser_np = np.asarray(tm.kaiser_window(k))  # host copy for the fused kernel
     kaiser_flat = jnp.asarray(kaiser_np.reshape(-1), dtype=dt)  # [64]
     kaiser_3d = jnp.asarray(kaiser_np.reshape(k, k, 1), dtype=dt)
@@ -685,6 +693,7 @@ def build_kernel_step(
                         lambda_3d=lambda_3d, wiener=wiener,
                         use_sd=sp.use_sd, a_live=a, planes=c,
                         refs=r_batch, interpret=interpret,
+                        stack_mode=stack_mode,
                     )
                     if banks == 1:
                         nb_out, db_out = fused_group_step(
