@@ -74,6 +74,11 @@ def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
     g.add_argument(f"--{prefix}-taumatch", type=float, default=None,
                    help=f"BM threshold (default {tau_default:g})")
     g.add_argument(f"--{prefix}-usesd", action="store_true", default=None)
+    g.add_argument(f"--{prefix}-flattau", type=float, default=None,
+                   help="flat-region fallback threshold (default 0 = off; "
+                   "reference patches with channel-0 variance <= "
+                   "flattau*sigma^2 skip the 5D pipeline, uncovered pixels "
+                   "take the angular-mean 2D fallback)")
 
 
 # Flag-name view of the canonical presets (config.PRESETS is the single
@@ -81,7 +86,7 @@ def _step_args(ap: argparse.ArgumentParser, prefix: str, tau_default: float):
 # 'adaptive' (denoise mode only) probes the LF's angular redundancy and
 # picks 'matched' or 'robust' per content (pipeline/adaptive.py).
 _FIELD_TO_FLAG = {"n_sim": "nsim", "n_search": "nsearch", "n_disp": "ndisp",
-                  "p": "p", "p_ang": "pang", "k": "k"}
+                  "p": "p", "p_ang": "pang", "k": "k", "flat_tau": "flattau"}
 _PRESETS = {
     name: {_FIELD_TO_FLAG[f]: v for f, v in over.items()}
     for name, over in _config.PRESETS.items()
@@ -89,7 +94,7 @@ _PRESETS = {
 
 _STEP_DEFAULTS = dict(
     nsim=16, nsearch=16, ndisp=2, k=8, p=3, pang=1, tau2d="dct", tau4d="dct",
-    tau5d="haar", usesd=False,
+    tau5d="haar", usesd=False, flattau=0.0,
 )
 
 
@@ -108,7 +113,7 @@ def _step_params(ns, prefix: str, tau_default: float) -> StepParams:
         n_sim=g("nsim"), n_search=g("nsearch"), n_disp=g("ndisp"),
         k=g("k"), p=g("p"), p_ang=g("pang"), tau_2d=g("tau2d"),
         tau_4d=g("tau4d"), tau_5d=g("tau5d"), tau_match=g("taumatch"),
-        use_sd=g("usesd"),
+        use_sd=g("usesd"), flat_tau=g("flattau"),
     )
 
 

@@ -50,6 +50,18 @@ class StepParams:
         ([0,255]-scale pixel units squared).
       use_sd: use standard-deviation-based aggregation weights instead of the
         1/(sigma^2 * N_nz) (HT) / 1/(sigma^2 * ||w||^2) (Wiener) weights.
+      flat_tau: flat-region fallback threshold (LFBM5D-TPU extension;
+        0 = off = reference semantics). When > 0, a reference patch whose
+        channel-0 k x k population variance (on the BM image: noisy for HT,
+        basic for Wiener; quantized to 1/8 [0,255]^2 units like BM
+        distances) is <= flat_tau * sigma_c0^2 builds NO group: in flat
+        regions the 5D group machinery spends its full per-slot cost
+        reconfirming that everything matches everything. Pixels no group
+        covers (den == 0) take a per-SAI k x k transform-domain fallback
+        (HT / Wiener on tau_2d blocks) at finalize — the "flat-region
+        per-SAI fallback" reformulation of BASELINE.md. On the noisy image
+        a flat patch's variance concentrates near sigma^2, so useful
+        thresholds sit around 1.0-1.5.
     """
 
     n_sim: int = 16
@@ -63,6 +75,7 @@ class StepParams:
     tau_5d: str = "haar"
     tau_match: float = 2500.0
     use_sd: bool = False
+    flat_tau: float = 0.0
 
     def __post_init__(self):
         if self.n_sim < 1 or (self.n_sim & (self.n_sim - 1)) != 0:

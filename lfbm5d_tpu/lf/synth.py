@@ -38,8 +38,16 @@ def synthetic_lf(
     disp_bg: int = 1,
     disp_fg: int = 2,
     seed: int = 0,
+    flat_frac: float = 0.0,
 ) -> np.ndarray:
-    """Two-plane textured light field with integer per-plane disparity."""
+    """Two-plane textured light field with integer per-plane disparity.
+
+    flat_frac > 0 replaces the LEFT flat_frac of the background texture's
+    columns with a constant (its mean there): a genuinely flat region that
+    stays flat in every view while keeping the plane's disparity structure —
+    the content class the flat-region fallback (StepParams.flat_tau)
+    targets. 0 (default) reproduces the historical generator exactly.
+    """
     rng = np.random.default_rng(seed)
     max_disp = max(abs(disp_bg), abs(disp_fg)) * max(a_h, a_w)
     ch, cw = h + 2 * max_disp + 2, w + 2 * max_disp + 2
@@ -56,6 +64,9 @@ def synthetic_lf(
     for c in range(channels):
         bg = _smooth_texture(rng, ch, cw, blur=3) * 220.0 + 20.0
         fg = _smooth_texture(rng, ch, cw, blur=2) * 200.0 + 40.0
+        if flat_frac > 0.0:
+            cols = int(cw * flat_frac)
+            bg[:, :cols] = bg[:, :cols].mean()
         # per-channel contiguous buffer: writing each SAI into the strided
         # lf[s, t, :, :, c] view measured ~12 s at flagship size
         chan = np.empty((a_h, a_w, h, w), dtype=np.float64)

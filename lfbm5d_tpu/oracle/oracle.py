@@ -191,12 +191,26 @@ def _oracle_step(
     num = np.zeros_like(noisy_p)
     den = np.zeros_like(noisy_p)
 
+    # flat-region fallback (StepParams.flat_tau): reference patches whose
+    # quantized channel-0 variance on the BM image is <= flat_tau * sigma0^2
+    # build no group; den==0 pixels take the per-SAI 2D fallback at finalize.
+    flat_thr_q = (
+        np.round(sp.flat_tau * sigma_c[0] ** 2 * DIST_QUANT)
+        if sp.flat_tau > 0 else None
+    )
+
     # p_ang subsamples which SAIs serve as reference (strided + flush,
     # config.StepParams.p_ang); groups still aggregate into all SAIs.
     for r_flat in ref_sai_grid(a_h, a_w, sp.p_ang):
         r_s, r_t = divmod(int(r_flat), a_w)
         for y in ys:
             for x in xs:
+                if flat_thr_q is not None:
+                    p0 = match_p[r_s, r_t, y : y + k, x : x + k, 0]
+                    kk = float(k * k)
+                    var = (p0**2).sum() / kk - (p0.sum() / kk) ** 2
+                    if np.round(var * DIST_QUANT) <= flat_thr_q:
+                        continue
                 sim_pos, ang_pos = oracle_block_match(
                     match_p, r_s, r_t, int(y), int(x), sp
                 )
@@ -234,27 +248,80 @@ def _oracle_step(
     return num, den
 
 
-def _finalize(num, den, pad):
+def _oracle_fallback_2d(x, sigma_c, sp: StepParams, lambda_3d: float,
+                        pilot=None):
+    """Angular-mean k x k blockwise tau_2d shrinkage (mirrors ops.flat
+    fallback_shrink_2d): average the LF over the angular axes (flat means
+    disparity-invariant, so the mean is unbiased there and cuts noise by
+    sqrt(A)), symmetric pad to k-multiples, non-overlapping blocks, HT at
+    lambda * sigma_c / sqrt(A) (DC always kept) or Wiener against the
+    angular-mean pilot, broadcast back to every SAI."""
+    f2, i2 = tm.transform_pair(sp.tau_2d, sp.k)
+    k = sp.k
+    a_h, a_w, h, w, _ = x.shape
+    sig_m = np.asarray(sigma_c, np.float64) / np.sqrt(float(a_h * a_w))
+    ph, pw = (-h) % k, (-w) % k
+
+    def blockify(v):
+        if ph or pw:
+            v = np.pad(v, [(0, ph), (0, pw), (0, 0)], mode="symmetric")
+        hp, wp, c = v.shape
+        b = v.reshape(hp // k, k, wp // k, k, c)
+        return np.moveaxis(b, -4, -3)
+
+    xb = blockify(np.asarray(x, np.float64).mean(axis=(0, 1)))
+    spec = np.einsum("uq,...qvc->...uvc", f2, xb)
+    spec = np.einsum("vq,...uqc->...uvc", f2, spec)
+    if pilot is None:
+        keep = np.abs(spec) >= lambda_3d * sig_m
+        keep[..., 0, 0, :] = True  # DC always kept
+        filt = spec * keep
+    else:
+        pb = blockify(np.asarray(pilot, np.float64).mean(axis=(0, 1)))
+        sb = np.einsum("uq,...qvc->...uvc", f2, pb)
+        sb = np.einsum("vq,...uqc->...uvc", f2, sb)
+        filt = spec * (sb**2 / (sb**2 + sig_m**2))
+    est = np.einsum("uq,...qvc->...uvc", i2, filt)
+    est = np.einsum("vq,...uqc->...uvc", i2, est)
+    est = np.moveaxis(est, -3, -4)
+    est = est.reshape(est.shape[0] * k, est.shape[2] * k, est.shape[-1])
+    est = est[:h, :w, :]
+    return np.broadcast_to(est, (a_h, a_w, h, w, est.shape[-1]))
+
+
+def _finalize(num, den, pad, fb=None):
     est = num / np.where(den > 0, den, 1.0)
-    est = np.where(den > 0, est, 0.0)
-    return est[:, :, pad:-pad, pad:-pad, :]
+    est = est[:, :, pad:-pad, pad:-pad, :]
+    deni = den[:, :, pad:-pad, pad:-pad, :]
+    return np.where(deni > 0, est, fb if fb is not None else 0.0)
 
 
 def oracle_ht_step(noisy_lf: np.ndarray, sigma_c: np.ndarray, sp: StepParams,
                    lambda_3d: float = 2.7) -> np.ndarray:
     """Hard-threshold step on a color-transformed LF [aH,aW,H,W,C] -> basic."""
-    noisy_p = pad_lf(np.asarray(noisy_lf, dtype=np.float64), sp.pad)
+    x = np.asarray(noisy_lf, dtype=np.float64)
+    noisy_p = pad_lf(x, sp.pad)
     num, den = _oracle_step(noisy_p, noisy_p, sigma_c, sp, lambda_3d, None)
-    return _finalize(num, den, sp.pad)
+    fb = (
+        _oracle_fallback_2d(x, sigma_c, sp, lambda_3d)
+        if sp.flat_tau > 0 else None
+    )
+    return _finalize(num, den, sp.pad, fb)
 
 
 def oracle_wiener_step(noisy_lf: np.ndarray, basic_lf: np.ndarray,
                        sigma_c: np.ndarray, sp: StepParams) -> np.ndarray:
     """Wiener step: BM on basic, shrink noisy with basic-derived filter."""
-    noisy_p = pad_lf(np.asarray(noisy_lf, dtype=np.float64), sp.pad)
-    basic_p = pad_lf(np.asarray(basic_lf, dtype=np.float64), sp.pad)
+    x = np.asarray(noisy_lf, dtype=np.float64)
+    b = np.asarray(basic_lf, dtype=np.float64)
+    noisy_p = pad_lf(x, sp.pad)
+    basic_p = pad_lf(b, sp.pad)
     num, den = _oracle_step(noisy_p, basic_p, sigma_c, sp, 0.0, basic_p)
-    return _finalize(num, den, sp.pad)
+    fb = (
+        _oracle_fallback_2d(x, sigma_c, sp, 0.0, pilot=b)
+        if sp.flat_tau > 0 else None
+    )
+    return _finalize(num, den, sp.pad, fb)
 
 
 def oracle_denoise(noisy_lf: np.ndarray, params: DenoiseParams):

@@ -40,6 +40,7 @@ from lfbm5d_tpu.ops.distances import (
     displacements,
     self_distances,
 )
+from lfbm5d_tpu.ops.flat import fallback_shrink_2d, flat_ref_mask
 from lfbm5d_tpu.ops.match import select_similar
 from lfbm5d_tpu.ops.shrinkage import ht_shrink, sd_weight, wiener_shrink
 from lfbm5d_tpu.transforms import matrices as tm
@@ -98,6 +99,14 @@ def _build_step(
             ref0 = match0[r]
             d_self = self_distances(ref0, ys, xs, k, n)  # [T, Ds]
             order, lvl, mask = select_similar(d_self, n, sp.tau_match, n_sim)
+            if sp.flat_tau > 0:
+                # flat-region fallback: flat reference patches build no
+                # group (ops/flat.py spec); den==0 pixels are filled by the
+                # per-SAI 2D fallback at finalize.
+                fmask = flat_ref_mask(
+                    ref0, ys, xs, k, sp.flat_tau, sigma_c[0]
+                )
+                mask = mask & ~fmask[:, None]
             off = disp_self[order]  # [T, N, 2]
             sim_y = pos_y[:, None] + off[..., 0]
             sim_x = pos_x[:, None] + off[..., 1]
@@ -217,10 +226,34 @@ def _build_step_jit(*key):
     return jax.jit(lambda np_, mp_, sc_: step(np_, mp_, sc_, None))
 
 
-def _finalize(num, den, pad: int, a_h: int, a_w: int, h: int, w: int, c: int):
+def _finalize(num, den, pad: int, a_h: int, a_w: int, h: int, w: int, c: int,
+              fb=None):
     est = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     est = est.reshape(a_h, a_w, *est.shape[1:])
-    return est[:, :, pad : pad + h, pad : pad + w, :]
+    est = est[:, :, pad : pad + h, pad : pad + w, :]
+    if fb is not None:
+        # flat-region fallback (StepParams.flat_tau): pixels no group
+        # covered take the per-SAI 2D estimate
+        deni = den.reshape(a_h, a_w, *den.shape[1:])
+        deni = deni[:, :, pad : pad + h, pad : pad + w, :]
+        est = jnp.where(deni > 0, est, fb)
+    return est
+
+
+def _flat_fallback(x, sigma_c, sp: StepParams, lambda_3d: float, dt,
+                   pilot=None):
+    """Per-SAI 2D fallback estimate for flat_tau > 0 steps (None if off).
+
+    x: [aH, aW, H, W, C] color-transformed LF; pilot: basic estimate for
+    the Wiener form. See ops/flat.py for the spec.
+    """
+    if sp.flat_tau <= 0:
+        return None
+    f2, i2 = tm.transform_pair(sp.tau_2d, sp.k)
+    return fallback_shrink_2d(
+        x, sigma_c.astype(dt), jnp.asarray(f2, dt), jnp.asarray(i2, dt),
+        lambda_3d, pilot,
+    )
 
 
 def _flat_pad(x, pad: int):
@@ -244,8 +277,10 @@ def ht_step(x, sigma: float, sp: StepParams, lambda_3d: float = 2.7,
         sp, lambda_3d, a_h, a_w, h, w, c, chunk, False, dtype, engine
     )
     xp = _flat_pad(x, sp.pad)
-    num, den = fn(xp, xp, _sigma_channels(sigma, color_space, c, dtype))
-    return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
+    sigma_c = _sigma_channels(sigma, color_space, c, dtype)
+    num, den = fn(xp, xp, sigma_c)
+    fb = _flat_fallback(x, sigma_c, sp, lambda_3d, jnp.dtype(dtype))
+    return _finalize(num, den, sp.pad, a_h, a_w, h, w, c, fb)
 
 
 def wiener_step(x, basic, sigma: float, sp: StepParams,
@@ -260,8 +295,10 @@ def wiener_step(x, basic, sigma: float, sp: StepParams,
     )
     xp = _flat_pad(x, sp.pad)
     bp = _flat_pad(basic, sp.pad)
-    num, den = fn(xp, bp, _sigma_channels(sigma, color_space, c, dtype), bp)
-    return _finalize(num, den, sp.pad, a_h, a_w, h, w, c)
+    sigma_c = _sigma_channels(sigma, color_space, c, dtype)
+    num, den = fn(xp, bp, sigma_c, bp)
+    fb = _flat_fallback(x, sigma_c, sp, 0.0, jnp.dtype(dtype), pilot=basic)
+    return _finalize(num, den, sp.pad, a_h, a_w, h, w, c, fb)
 
 
 @lru_cache(maxsize=None)
@@ -305,11 +342,13 @@ def build_denoise_fn(
             x = x @ mf.T
         xp = _flat_pad(x, params.ht.pad)
         num, den = ht_raw(xp, xp, sigma_c, None)
-        basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c)
+        fb = _flat_fallback(x, sigma_c, params.ht, params.lambda_3d, dt)
+        basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c, fb)
         xp2 = _flat_pad(x, params.wiener.pad)
         bp = _flat_pad(basic, params.wiener.pad)
         num, den = wn_raw(xp2, bp, sigma_c, bp)
-        final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c)
+        fb = _flat_fallback(x, sigma_c, params.wiener, 0.0, dt, pilot=basic)
+        final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c, fb)
         if use_color:
             basic = basic @ mi.T
             final = final @ mi.T
@@ -413,14 +452,16 @@ def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype):
         params.ht, params.lambda_3d, False, xp, xp, sigma_c, None,
         a_h, a_w, h, w, c, dtype, group_dtype,
     )
-    basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c)
+    fb = _flat_fallback(x, sigma_c, params.ht, params.lambda_3d, dt)
+    basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c, fb)
     xp2 = _flat_pad(x, params.wiener.pad)
     bp = _flat_pad(basic, params.wiener.pad)
     num, den = _run_step_launched(
         params.wiener, 0.0, True, xp2, bp, sigma_c, bp,
         a_h, a_w, h, w, c, dtype, group_dtype,
     )
-    final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c)
+    fb = _flat_fallback(x, sigma_c, params.wiener, 0.0, dt, pilot=basic)
+    final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c, fb)
     if use_color:
         basic = basic @ mi.T
         final = final @ mi.T
@@ -470,11 +511,13 @@ def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype):
     )
     xp = _flat_pad(x, params.ht.pad)
     num, den = ht(xp, xp, sigma_c)
-    basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c)
+    fb = _flat_fallback(x, sigma_c, params.ht, params.lambda_3d, dt)
+    basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c, fb)
     xp2 = _flat_pad(x, params.wiener.pad)
     bp = _flat_pad(basic, params.wiener.pad)
     num, den = wn(xp2, bp, sigma_c, bp)
-    final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c)
+    fb = _flat_fallback(x, sigma_c, params.wiener, 0.0, dt, pilot=basic)
+    final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c, fb)
     if use_color:
         basic = basic @ mi.T
         final = final @ mi.T

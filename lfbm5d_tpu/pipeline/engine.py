@@ -57,6 +57,7 @@ from lfbm5d_tpu.ops.distances import (
     displacements,
     self_distances,
 )
+from lfbm5d_tpu.ops.flat import flat_ref_mask
 from lfbm5d_tpu.ops.match import select_similar
 from lfbm5d_tpu.transforms import matrices as tm
 from lfbm5d_tpu.transforms.flat import FlatTransforms, forward_flat, inverse_flat
@@ -488,6 +489,14 @@ def build_kernel_step(
                 else:
                     d_self = self_distances(im, ys, xs, k, n)
                 order, lv, mk = select_similar(d_self, n, sp.tau_match, n_sim)
+                if sp.flat_tau > 0:
+                    # flat-region fallback (ops/flat.py): flat reference
+                    # patches build no group — their slots go sentinel via
+                    # the mask, and den==0 pixels take the per-SAI 2D
+                    # fallback at finalize (pipeline/denoise._finalize).
+                    fm = flat_ref_mask(im, ys, xs, k, sp.flat_tau,
+                                       sigma_c[0])
+                    mk = mk & ~fm[:, None]
                 offs = disp_self[order]
                 sy = pos_y[:, None] + offs[..., 0]  # [T, N]
                 sx = pos_x[:, None] + offs[..., 1]
