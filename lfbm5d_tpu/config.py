@@ -51,17 +51,20 @@ class StepParams:
       use_sd: use standard-deviation-based aggregation weights instead of the
         1/(sigma^2 * N_nz) (HT) / 1/(sigma^2 * ||w||^2) (Wiener) weights.
       flat_tau: flat-region fallback threshold (LFBM5D-TPU extension;
-        0 = off = reference semantics). When > 0, a reference patch whose
-        channel-0 k x k population variance (on the BM image: noisy for HT,
-        basic for Wiener; quantized to 1/8 [0,255]^2 units like BM
-        distances) is <= flat_tau * sigma_c0^2 builds NO group: in flat
-        regions the 5D group machinery spends its full per-slot cost
-        reconfirming that everything matches everything. Pixels no group
-        covers (den == 0) take a per-SAI k x k transform-domain fallback
-        (HT / Wiener on tau_2d blocks) at finalize — the "flat-region
-        per-SAI fallback" reformulation of BASELINE.md. On the noisy image
-        a flat patch's variance concentrates near sigma^2, so useful
-        thresholds sit around 1.0-1.5.
+        0 = off = reference semantics). When > 0, reference-grid positions
+        that are angular-REDUNDANT — the mean squared deviation of every
+        view from the angular mean over the k x k patch (channel 0 of the
+        BM image, quantized to 1/8 [0,255]^2 units like BM distances) is
+        <= flat_tau * sigma_c0^2 — build NO group: where all views already
+        agree, the 5D machinery spends its full per-slot cost reconfirming
+        that everything matches everything. Pixels no group covers
+        (den == 0) take the angular-mean k x k transform-domain fallback
+        at finalize (ops/flat.py) — the "flat-region per-SAI fallback"
+        reformulation of BASELINE.md, LF-aware. flat_tau multiplies the
+        statistic's redundant-content center sigma_c0^2 (A-1)/A (where it
+        concentrates to a few percent); useful margins sit around
+        1.1-1.2. The fused engine also SKIPS the dead chunks (compaction
+        + prefetched live counts), making redundant regions nearly free.
     """
 
     n_sim: int = 16

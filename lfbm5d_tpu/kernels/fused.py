@@ -129,7 +129,7 @@ def _out_dtype(dt):
 def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                  planes: int, refs: int, lambda_3d: float, wiener: bool,
                  use_sd: bool, a_live: int, dt, cdt,
-                 stack_mode: str = "matmul"):
+                 stack_mode: str = "matmul", chunk_skip: bool = False):
     """dt: mux/scratch dtype (f32/f64); cdt: transform-chain dtype — bf16
     runs the matmuls at MXU bf16 rate with f32 accumulation while the
     extract/aggregate muxes stay in dt (full-bf16 muxing measured 1.75x
@@ -142,6 +142,9 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
     acc_dt, wdt = _shrink_dtypes(jnp.dtype(cdt))
 
     def kernel(*refs_args):
+        nlc_ref = None
+        if chunk_skip:
+            nlc_ref, refs_args = refs_args[0], refs_args[1:]
         if wiener:
             (syx_ref, lvl_ref, sig_ref,
              band_n_ref, band_b_ref, doff_ref,
@@ -172,6 +175,26 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             num_ref[...] = jnp.zeros_like(num_ref)
             den_ref[...] = jnp.zeros_like(den_ref)
 
+        def work():
+            _work_body(syx_ref, lvl_ref, sig_ref, band_n_ref, band_b_ref,
+                       doff_ref, k2f_ref, k2i_ref, k4f_ref, k4i_ref,
+                       stf_ref, sti_ref, kai_ref, num_ref, den_ref,
+                       scr_ref, scrb_ref, i_meta, j, p_idx, slot_pos)
+
+        if chunk_skip:
+            # flat-region chunk skipping: the engine compacts live groups to
+            # the front chunks of each (tile, ref) and prefetches the live
+            # chunk count; fully-dead chunks (all slots sentinel, exact-zero
+            # contributions) skip the whole body. The zero-init above stays
+            # unconditional.
+            pl.when(j < nlc_ref[i_meta])(work)
+        else:
+            work()
+
+    def _work_body(syx_ref, lvl_ref, sig_ref, band_n_ref, band_b_ref,
+                   doff_ref, k2f_ref, k2i_ref, k4f_ref, k4i_ref, stf_ref,
+                   sti_ref, kai_ref, num_ref, den_ref, scr_ref, scrb_ref,
+                   i_meta, j, p_idx, slot_pos):
         # ---- extract: superpatch mux into scratch (kernels/extract.py) ----
         # Bands may arrive WIDER than the group dtype (bf16 mode keeps them
         # f32: Mosaic cannot do unaligned dynamic sublane slices on
@@ -365,9 +388,14 @@ def fused_group_step(
     *, bh: int, bw: int, k: int, nd: int, n_sim: int,
     lambda_3d: float, wiener: bool, use_sd: bool, a_live: int,
     planes: int, refs: int, interpret: bool = False,
-    stack_mode: str = "matmul",
+    stack_mode: str = "matmul", nlc=None,
 ):
     """One fused group-stage pass over all tiles of a ref-block.
+
+    nlc: optional [n_tiles*refs] int32 LIVE CHUNK counts (flat-region
+    compaction): the engine orders live groups first within each (tile,
+    ref); chunks >= nlc[i_meta] are fully sentinel-masked and the kernel
+    skips their body entirely (their contributions are exact zeros).
 
     stack_mode: 'matmul' applies the stf/sti stack tables by batched matmul;
     'haar' / 'hadamard' run the stack transform as lvl-gated in-kernel
@@ -413,9 +441,10 @@ def fused_group_step(
     nb2 = n_tiles * planes * refs
     kk = k * k
 
+    chunk_skip = nlc is not None
     kernel = _make_kernel(
         k, nd, sc, l, n_sim, depth, planes, refs, lambda_3d, wiener, use_sd,
-        a_live, dt, cdt, stack_mode,
+        a_live, dt, cdt, stack_mode, chunk_skip,
     )
 
     def _band_idx(i, j, *_):
@@ -454,14 +483,14 @@ def fused_group_step(
     scratch = [pltpu.VMEM((sc * kk, l), dt), pltpu.VMEM((sc * kk, l), dt)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4 if chunk_skip else 3,
         grid=(nb2, n_chunks),
         in_specs=in_specs,
         out_specs=[out_spec, out_spec],
         scratch_shapes=scratch,
     )
 
-    args = [syx, lvl, sig, bands_n]
+    args = ([nlc] if chunk_skip else []) + [syx, lvl, sig, bands_n]
     if wiener:
         args.append(bands_b)
     args += [

@@ -10,21 +10,47 @@ finalize) take a per-SAI k x k transform-domain estimate instead.
 
 Spec choices (mirrored literally by the float64 oracle, oracle/oracle.py):
 
-* Flatness metric: POPULATION variance of the k x k channel-0 reference
-  patch on the BM image (noisy for HT, basic for Wiener), quantized to
-  1/DIST_QUANT units of [0,255]^2 exactly like BM distances, so the
-  classification is bit-identical across dtypes/implementations.
-  A patch is flat iff  round(var * Q) <= round(flat_tau * sigma_c0^2 * Q).
-* Fallback estimate (LF-aware): flat means locally disparity-invariant, so
-  the ANGULAR MEAN over all A SAIs is unbiased there and cuts the noise by
+* Flatness metric: ANGULAR REDUNDANCY, not single-patch variance. A first
+  attempt classified on the k x k patch variance and failed measurably: at
+  sigma=25 a flat patch's sample variance (sigma^2 +- 18%) overlaps weak
+  texture's (signal var 0.2-0.85 sigma^2 on the bench content), so 18% of
+  fully-textured patches misclassified and the fallback ghosted them
+  (-6 dB at the flagship). The shipped statistic is the mean squared
+  deviation of every view from the ANGULAR MEAN over the patch:
+      D(y, x) = (1/A) * sum_v box_k((x_v - mean_v x_v)^2)(y, x) / k^2
+  computed on channel 0 of the NOISY LF in BOTH steps — redundancy is a
+  content property, and only the noisy image carries the sigma^2 noise
+  anchor the threshold is calibrated to (a second measured failure:
+  computing it on the Wiener step's basic estimate, whose residual noise
+  is far below sigma, turned the threshold into a pure misalignment bound
+  and classified slowly-moving texture as redundant: -3.6 dB),
+  quantized to 1/DIST_QUANT units of [0,255]^2 exactly like BM distances.
+  Where content is genuinely angular-redundant D concentrates at
+  sigma^2 (A-1)/A with ~sqrt(2/(A k^2)) relative sd (it averages A*k^2
+  samples); any disparity-carrying texture adds its misalignment energy —
+  which is also exactly the GHOST energy the angular-mean fallback would
+  commit — on top. The threshold is therefore RELATIVE to the redundant
+  center: a position is redundant iff
+      round(D * Q) <= round(flat_tau * sigma_c0^2 * (A-1)/A * Q),
+  with flat_tau ~ 1.1-1.2 as the margin multiplier (an absolute-sigma^2
+  form measured badly at small A: at A=4 the center is 0.75 sigma^2 and a
+  1.3 sigma^2 threshold admitted ~0.3 sigma^2 of ghost energy). The mask
+  is ref-SAI-independent (one field per step).
+* Fallback estimate (LF-aware): redundant means all views agree, so the
+  ANGULAR MEAN over all A SAIs is unbiased there and cuts the noise by
   sqrt(A) for free. The fallback averages the LF over the angular axes,
   pads to k-multiples by symmetric reflection, partitions into
   non-overlapping k x k blocks, applies the step's tau_2d transform,
-  shrinks (HT at lambda*sigma_c/sqrt(A) keeping DC, or Wiener against the
-  angular-mean basic pilot with noise power sigma_c^2/A), inverts, crops,
-  and broadcasts to every SAI. (The reference-list idea is a per-SAI
-  fallback; the angular mean dominates it on light fields — in flat
-  regions all views agree by definition.)
+  shrinks, inverts, crops, and broadcasts to every SAI. Shrinkage: the
+  step-1 form is EMPIRICAL Wiener against the mean's own spectrum
+  (w = max(B^2 - s^2, 0) / max(B^2, s^2), s = sigma_c/sqrt(A)) — a hard
+  threshold measurably over-smooths static weak texture (1.5 dB on a
+  static-textured plane at A=4) while empirical Wiener attenuates
+  noise-level coefficients smoothly; the step-2 form is standard Wiener
+  against the angular-mean basic pilot with noise power sigma_c^2/A.
+  (The reference-list idea is a per-SAI fallback; the angular mean
+  dominates it on light fields — in redundant regions all views agree by
+  definition.)
 """
 
 from __future__ import annotations
@@ -35,22 +61,26 @@ import numpy as np
 from lfbm5d_tpu.ops.distances import DIST_QUANT, _box_sum
 
 
-def flat_ref_mask(plane, ys, xs, k: int, flat_tau: float, sigma0):
-    """True where the reference patch at the grid position is FLAT.
+def flat_ref_mask(planes, ys, xs, k: int, flat_tau: float, sigma0):
+    """True where the reference-grid position is angular-REDUNDANT.
 
-    plane: [Hp, Wp] channel-0 BM image (padded). ys/xs: static reference
-    grids (padded coords). sigma0: channel-0 sigma (traced scalar OK).
-    Returns bool [len(ys)*len(xs)].
+    planes: [A, Hp, Wp] channel-0 NOISY image of every SAI (padded,
+    flattened angular axis; both steps use the noisy LF — see module
+    docstring). ys/xs: static reference grids (padded coords). sigma0:
+    channel-0 sigma (traced scalar OK). Returns bool [len(ys)*len(xs)];
+    the statistic is ref-SAI-independent — compute once per step.
     """
     ysj = jnp.asarray(np.asarray(ys), jnp.int32)
     xsj = jnp.asarray(np.asarray(xs), jnp.int32)
-    s1 = _box_sum(plane, k)
-    s2 = _box_sum(plane * plane, k)
-    m1 = jnp.take(jnp.take(s1, ysj, 0), xsj, 1) / (k * k)
-    m2 = jnp.take(jnp.take(s2, ysj, 0), xsj, 1) / (k * k)
-    qvar = jnp.round((m2 - m1 * m1) * DIST_QUANT)
-    thr_q = jnp.round(flat_tau * sigma0 * sigma0 * DIST_QUANT)
-    return (qvar <= thr_q).reshape(-1)
+    a = planes.shape[0]
+    m = jnp.mean(planes, axis=0)
+    dev = jnp.mean((planes - m[None]) ** 2, axis=0)  # [Hp, Wp]
+    d = _box_sum(dev, k) / (k * k)
+    qd = jnp.round(jnp.take(jnp.take(d, ysj, 0), xsj, 1) * DIST_QUANT)
+    thr_q = jnp.round(
+        flat_tau * sigma0 * sigma0 * ((a - 1) / a) * DIST_QUANT
+    )
+    return (qd <= thr_q).reshape(-1)
 
 
 def _blockify(x, k: int):
@@ -83,10 +113,12 @@ def fallback_shrink_2d(x, sigma_c, f2, i2, lambda_3d: float, pilot=None):
     spec = jnp.einsum("uq,...qvc->...uvc", f2, xb)
     spec = jnp.einsum("vq,...uqc->...uvc", f2, spec)
     if pilot is None:
-        keep = jnp.abs(spec) >= lambda_3d * sig_m
-        dc = jnp.zeros(spec.shape[-3:-1], bool).at[0, 0].set(True)
-        keep = keep | dc[..., None]
-        filt = spec * keep
+        # empirical Wiener against the mean's own spectrum (HT measurably
+        # over-smooths static weak texture; lambda_3d unused here)
+        del lambda_3d
+        s2 = sig_m * sig_m
+        b2 = jnp.maximum(spec * spec - s2, 0.0)
+        filt = spec * (b2 / (b2 + s2))
     else:
         pb, _, _ = _blockify(jnp.mean(pilot, axis=(0, 1)), k)
         sb = jnp.einsum("uq,...qvc->...uvc", f2, pb)

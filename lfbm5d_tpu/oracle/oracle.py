@@ -191,13 +191,31 @@ def _oracle_step(
     num = np.zeros_like(noisy_p)
     den = np.zeros_like(noisy_p)
 
-    # flat-region fallback (StepParams.flat_tau): reference patches whose
-    # quantized channel-0 variance on the BM image is <= flat_tau * sigma0^2
-    # build no group; den==0 pixels take the per-SAI 2D fallback at finalize.
-    flat_thr_q = (
-        np.round(sp.flat_tau * sigma_c[0] ** 2 * DIST_QUANT)
-        if sp.flat_tau > 0 else None
-    )
+    # flat-region fallback (StepParams.flat_tau): positions whose quantized
+    # angular-redundancy statistic D (mean squared deviation of every view
+    # from the angular mean over the k x k patch, channel 0 of the BM
+    # image) is <= flat_tau * sigma0^2 build no group; den==0 pixels take
+    # the angular-mean 2D fallback at finalize. Spec in ops/flat.py.
+    flat_grid = None
+    if sp.flat_tau > 0:
+        a = a_h * a_w
+        thr_q = np.round(
+            sp.flat_tau * sigma_c[0] ** 2 * ((a - 1) / a) * DIST_QUANT
+        )
+        # on the NOISY LF in both steps (ops/flat.py: the basic estimate's
+        # residual noise is far below sigma, breaking the threshold anchor)
+        m0 = noisy_p[..., 0].reshape(a_h * a_w, hp, wp)
+        mean0 = m0.mean(axis=0)
+        flat_grid = {}
+        for y in ys:
+            for x in xs:
+                d = np.mean(
+                    (m0[:, y : y + k, x : x + k]
+                     - mean0[None, y : y + k, x : x + k]) ** 2
+                )
+                flat_grid[(int(y), int(x))] = (
+                    np.round(d * DIST_QUANT) <= thr_q
+                )
 
     # p_ang subsamples which SAIs serve as reference (strided + flush,
     # config.StepParams.p_ang); groups still aggregate into all SAIs.
@@ -205,12 +223,8 @@ def _oracle_step(
         r_s, r_t = divmod(int(r_flat), a_w)
         for y in ys:
             for x in xs:
-                if flat_thr_q is not None:
-                    p0 = match_p[r_s, r_t, y : y + k, x : x + k, 0]
-                    kk = float(k * k)
-                    var = (p0**2).sum() / kk - (p0.sum() / kk) ** 2
-                    if np.round(var * DIST_QUANT) <= flat_thr_q:
-                        continue
+                if flat_grid is not None and flat_grid[(int(y), int(x))]:
+                    continue
                 sim_pos, ang_pos = oracle_block_match(
                     match_p, r_s, r_t, int(y), int(x), sp
                 )
@@ -251,11 +265,12 @@ def _oracle_step(
 def _oracle_fallback_2d(x, sigma_c, sp: StepParams, lambda_3d: float,
                         pilot=None):
     """Angular-mean k x k blockwise tau_2d shrinkage (mirrors ops.flat
-    fallback_shrink_2d): average the LF over the angular axes (flat means
-    disparity-invariant, so the mean is unbiased there and cuts noise by
-    sqrt(A)), symmetric pad to k-multiples, non-overlapping blocks, HT at
-    lambda * sigma_c / sqrt(A) (DC always kept) or Wiener against the
-    angular-mean pilot, broadcast back to every SAI."""
+    fallback_shrink_2d): average the LF over the angular axes (redundant
+    means all views agree, so the mean is unbiased there and cuts noise by
+    sqrt(A)), symmetric pad to k-multiples, non-overlapping blocks,
+    empirical Wiener at sigma_c / sqrt(A) (step 1) or standard Wiener
+    against the angular-mean pilot (step 2), broadcast back to every SAI.
+    """
     f2, i2 = tm.transform_pair(sp.tau_2d, sp.k)
     k = sp.k
     a_h, a_w, h, w, _ = x.shape
@@ -273,9 +288,11 @@ def _oracle_fallback_2d(x, sigma_c, sp: StepParams, lambda_3d: float,
     spec = np.einsum("uq,...qvc->...uvc", f2, xb)
     spec = np.einsum("vq,...uqc->...uvc", f2, spec)
     if pilot is None:
-        keep = np.abs(spec) >= lambda_3d * sig_m
-        keep[..., 0, 0, :] = True  # DC always kept
-        filt = spec * keep
+        # empirical Wiener against the mean's own spectrum (ops/flat.py)
+        del lambda_3d
+        s2 = sig_m**2
+        b2 = np.maximum(spec**2 - s2, 0.0)
+        filt = spec * (b2 / (b2 + s2))
     else:
         pb = blockify(np.asarray(pilot, np.float64).mean(axis=(0, 1)))
         sb = np.einsum("uq,...qvc->...uvc", f2, pb)

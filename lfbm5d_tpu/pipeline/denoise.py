@@ -93,6 +93,15 @@ def _build_step(
 
     def step(noisy_p, match_p, sigma_c, basic_p):
         match0 = match_p[..., 0]  # [A, Hp, Wp]
+        fmask = None
+        if sp.flat_tau > 0:
+            # angular-redundancy mask (ops/flat.py): redundant positions
+            # build no group; den==0 pixels take the angular-mean fallback
+            # at finalize. Computed on the NOISY LF in both steps (the
+            # basic estimate's residual noise is far below sigma, which
+            # breaks the threshold's anchor — see ops/flat.py).
+            fmask = flat_ref_mask(noisy_p[..., 0], ys, xs, k, sp.flat_tau,
+                                  sigma_c[0])
 
         def ref_pass(carry, r):
             num, den = carry
@@ -100,12 +109,6 @@ def _build_step(
             d_self = self_distances(ref0, ys, xs, k, n)  # [T, Ds]
             order, lvl, mask = select_similar(d_self, n, sp.tau_match, n_sim)
             if sp.flat_tau > 0:
-                # flat-region fallback: flat reference patches build no
-                # group (ops/flat.py spec); den==0 pixels are filled by the
-                # per-SAI 2D fallback at finalize.
-                fmask = flat_ref_mask(
-                    ref0, ys, xs, k, sp.flat_tau, sigma_c[0]
-                )
                 mask = mask & ~fmask[:, None]
             off = disp_self[order]  # [T, N, 2]
             sim_y = pos_y[:, None] + off[..., 0]

@@ -388,6 +388,12 @@ def build_kernel_step(
         ang_w = a_pad
     else:
         ang_w = max(8, _round_up(a, 8))
+    # flat-region chunk skipping (StepParams.flat_tau + ops/flat.py): live
+    # groups are compacted to the front chunks of each (tile, ref) and the
+    # fused kernel skips fully-dead chunks via a prefetched live-chunk
+    # count. Single-bank fused path only; elsewhere flat refs are plain
+    # sentinel-masked (correct, no speedup).
+    use_cskip = sp.flat_tau > 0 and fused and banks == 1
     n_planes = (2 if wiener else 1) * c  # extract planes per tile
     # tiles per kernel batch, bounded by transient group memory (~6 live
     # copies of the per-tile group tensor across extract/transform/vals)
@@ -424,6 +430,10 @@ def build_kernel_step(
         rebuilds dwarfed each launch's compute), so the launched runner
         computes them ONCE per step and feeds them to every launch."""
         match0 = match_p[..., 0]
+        # flat_tau classifies on the NOISY LF in both steps (ops/flat.py:
+        # the basic estimate's residual noise is far below sigma, which
+        # breaks the threshold's anchor); zeros placeholder when off
+        noisy0 = noisy_p[..., 0] if sp.flat_tau > 0 else match0
         tab = to_table(noisy_p)
         tab_b = to_table(basic_p) if wiener else tab  # placeholder slot
         if use_bm_kernel:
@@ -457,11 +467,20 @@ def build_kernel_step(
                             )
                 bands_by_batch.append(jnp.concatenate(band_list, axis=0))
             bands_by_batch = tuple(bands_by_batch)
-        return match0, tab, tab_b, others_ext, bands_by_batch
+        return match0, noisy0, tab, tab_b, others_ext, bands_by_batch
 
     def step_impl(prepared, sigma_c, num0, den0, idx_blocks):
-        match0, tab, tab_b, others_ext, bands_by_batch = prepared
+        match0, noisy0, tab, tab_b, others_ext, bands_by_batch = prepared
         sigma_c = sigma_c.astype(dt)
+
+        fmask = None
+        if sp.flat_tau > 0:
+            # angular-redundancy mask (ops/flat.py): ref-SAI-independent,
+            # one field per step, computed on the NOISY planes. Redundant
+            # positions build no group; their pixels take the angular-mean
+            # 2D fallback at finalize (pipeline/denoise._finalize).
+            fmask = flat_ref_mask(noisy0, ys, xs, k, sp.flat_tau,
+                                  sigma_c[0])
 
         v1 = wp - k + 1
 
@@ -490,13 +509,7 @@ def build_kernel_step(
                     d_self = self_distances(im, ys, xs, k, n)
                 order, lv, mk = select_similar(d_self, n, sp.tau_match, n_sim)
                 if sp.flat_tau > 0:
-                    # flat-region fallback (ops/flat.py): flat reference
-                    # patches build no group — their slots go sentinel via
-                    # the mask, and den==0 pixels take the per-SAI 2D
-                    # fallback at finalize (pipeline/denoise._finalize).
-                    fm = flat_ref_mask(im, ys, xs, k, sp.flat_tau,
-                                       sigma_c[0])
-                    mk = mk & ~fm[:, None]
+                    mk = mk & ~fmask[:, None]
                 offs = disp_self[order]
                 sy = pos_y[:, None] + offs[..., 0]  # [T, N]
                 sx = pos_x[:, None] + offs[..., 1]
@@ -573,12 +586,44 @@ def build_kernel_step(
                     axis=1,
                 )
 
+            if use_cskip:
+                # order live groups first within each (tile, ref): metadata
+                # indices become data (stable argsort on the flat flag), and
+                # the per-(tile, ref) live-chunk count rides scalar prefetch
+                # so the kernel can skip fully-dead chunks.
+                flat_p = jnp.concatenate(
+                    [jnp.broadcast_to(fmask[None], (r_batch, t_count)),
+                     jnp.ones((r_batch, 1), bool)], axis=1
+                )  # dummy slot index T counts as dead
+                flat_e = jnp.take(flat_p.reshape(-1), tile_groups_ec).reshape(
+                    n_tiles, r_batch, tt_pad
+                )
+                order_g = jnp.argsort(
+                    flat_e.astype(jnp.int32), axis=-1, stable=True
+                )
+                tge_used = jnp.take_along_axis(
+                    tile_groups_ec.reshape(n_tiles, r_batch, tt_pad),
+                    order_g, axis=-1,
+                )
+                sfc_used = (
+                    tge_used[..., None] * n_sim
+                    + jnp.arange(n_sim, dtype=jnp.int32)
+                ).reshape(-1)
+                tge_used = tge_used.reshape(-1)
+                n_live = jnp.sum(
+                    ~flat_e, axis=-1, dtype=jnp.int32
+                )  # [nT, R]
+                n_live = jnp.where(valid[None, :], n_live, 0)
+                nlc_k = ((n_live + gpc - 1) // gpc).reshape(-1)  # [n_meta]
+            else:
+                sfc_used, tge_used, nlc_k = slot_flat_c, tile_groups_ec, None
+
             # one row-gather per ref-BLOCK fetches every (tile, ref) slot's
             # metadata (the gather tables carry per-ref offsets)
-            qy_all = jnp.take(sim_y_p.reshape(-1), slot_flat_c).reshape(
+            qy_all = jnp.take(sim_y_p.reshape(-1), sfc_used).reshape(
                 n_tiles, r_batch, cpt, sc
             )
-            qx_all = jnp.take(sim_x_p.reshape(-1), slot_flat_c).reshape(
+            qx_all = jnp.take(sim_x_p.reshape(-1), sfc_used).reshape(
                 n_tiles, r_batch, cpt, sc
             )
             if use_direct:
@@ -598,11 +643,11 @@ def build_kernel_step(
                     doff_all = jnp.take(
                         ang_p.reshape(-1, ang_w), slot_flat_c, axis=0
                     ).reshape(n_tiles, r_batch, cpt, sc, ang_w)
-            glvl_all = jnp.take(lvl_p.reshape(-1), tile_groups_ec).reshape(
+            glvl_all = jnp.take(lvl_p.reshape(-1), tge_used).reshape(
                 n_tiles, r_batch, tt_pad
             )
             smask_all = jnp.take(
-                mask_p.reshape(-1, n_sim), tile_groups_ec, axis=0
+                mask_p.reshape(-1, n_sim), tge_used, axis=0
             ).reshape(n_tiles, r_batch, tt_pad, n_sim)
 
             # positions relative to each (static) tile origin
@@ -637,7 +682,7 @@ def build_kernel_step(
                     ang_flat = lax.optimization_barrier(
                         ang_p.reshape(-1, ang_w)
                     )
-                sfc_2d = slot_flat_c.reshape(n_tiles, r_batch * cpt * sc)
+                sfc_2d = sfc_used.reshape(n_tiles, r_batch * cpt * sc)
 
                 def range_body(nd_c, rid):
                     num, den = nd_c
@@ -714,6 +759,10 @@ def build_kernel_step(
                             doff_rng,
                             ft.k2f, ft.k2i, ft.k4f, ft.k4i,
                             ft.stack_f, ft.stack_i, kaiser_3d,
+                            nlc=(
+                                dsl(nlc_k, m0, tpc * r_batch)
+                                if use_cskip else None
+                            ),
                             **common,
                         )
                     else:
