@@ -35,6 +35,15 @@ def parse_preset(name: str) -> dict:
         return dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
     if name == "fast":
         return dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
+    base = None
+    if "F" in name:
+        name, tau = name.split("F", 1)
+        base = parse_preset(name) if name in ("default", "fast") else None
+        if base is not None:
+            base["flat_tau"] = float(tau)
+            return base
+    else:
+        tau = None
     m = re.fullmatch(r"N(\d+)n(\d+)p(\d+)(?:d(\d+))?(?:A(\d+))?", name)
     if not m:
         raise ValueError(f"bad preset {name!r}")
@@ -42,6 +51,8 @@ def parse_preset(name: str) -> dict:
              n_disp=int(m[4]) if m[4] else 2)
     if m[5]:
         d["p_ang"] = int(m[5])
+    if tau is not None:
+        d["flat_tau"] = float(tau)
     return d
 
 
@@ -66,6 +77,7 @@ def main():
 
     from lfbm5d_tpu.config import DenoiseParams, StepParams
     from lfbm5d_tpu.lf import psnr, synthetic_lf
+    from lfbm5d_tpu.lf.metrics import psnr_device
     from lfbm5d_tpu.lf.noise import add_noise_np
     from lfbm5d_tpu.pipeline import run_bm5d
 
@@ -74,6 +86,7 @@ def main():
                          disp_fg=args.disp[1], seed=args.seed)
     noisy = add_noise_np(clean, args.sigma, seed=args.seed + 1)
     noisy_dev = jnp.asarray(noisy, jnp.float32)
+    clean_dev = jnp.asarray(clean, jnp.float32)
     jax.block_until_ready(noisy_dev)
     p_noisy = psnr(np.clip(noisy, 0, 255), clean)
     print(f"# {a}x{a}x{h}x{w} sigma={args.sigma:g} noisy={p_noisy:.3f} dB "
@@ -111,7 +124,7 @@ def main():
             jax.block_until_ready(final)
             float(final[0, 0, 0, 0, 0])
             times.append(time.time() - t0)
-        p_final = psnr(np.clip(np.asarray(final), 0, 255), clean)
+        p_final = float(psnr_device(jnp.clip(final, 0, 255), clean_dev))
         mpix = a * a * h * w / 1e6
         print(json.dumps({
             "preset": name, "step": step,
