@@ -152,10 +152,13 @@ PRESETS: dict = {
     # throughput preset: coarser reference grid, smaller windows
     "fast": dict(n_sim=8, n_search=8, n_disp=2, p=6),
     # fastest preset measured at-or-above reference-default PSNR on the
-    # bench LF at the 9x9 flagship shape (28.418 vs 28.416 dB at 434x625,
-    # 91x the default's speed). Content caveat: loses up to ~0.4 dB on
-    # low-disparity LFs — 'robust' covers that regime.
-    "matched": dict(n_sim=8, n_search=16, n_disp=1, p=8, p_ang=4),
+    # bench LF at the 9x9 flagship shape (28.417 vs 28.416 dB at 434x625,
+    # ~120x the default's speed with the flat-region fallback on; the
+    # fallback is quality-POSITIVE where it triggers — +0.18 dB on
+    # half-flat content, BASELINE.md). Content caveat: loses up to
+    # ~0.4 dB on low-disparity LFs — 'robust' covers that regime.
+    "matched": dict(n_sim=8, n_search=16, n_disp=1, p=8, p_ang=4,
+                    flat_tau=1.3),
     # within 0.05 dB of reference-default on EVERY tested content class
     # (worst case -0.046 dB on a static-background LF) at ~4x default speed
     "robust": dict(n_sim=16, n_search=16, n_disp=1, p=3, p_ang=2),

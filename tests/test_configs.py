@@ -109,8 +109,8 @@ def test_preset_merge_explicit_flag_wins():
 
 def test_matched_preset_is_the_measured_one():
     """The CLI 'matched' preset must stay in sync with the knee-sweep
-    winner recorded in BASELINE.md (N8 n16 p8 nDisp=1 p_ang=4:
-    28.418 dB vs default 28.416 at the flagship shape, 91x)."""
+    winner recorded in BASELINE.md (N8 n16 p8 nDisp=1 p_ang=4 +
+    flat_tau=1.3: 28.417 dB vs default 28.416 at the flagship shape)."""
     import argparse
 
     from lfbm5d_tpu.cli import _step_args, _step_params
@@ -120,6 +120,7 @@ def test_matched_preset_is_the_measured_one():
     _step_args(ap, "ht", 2500.0)
     sp = _step_params(ap.parse_args([]), "ht", 2500.0)
     assert (sp.n_sim, sp.n_search, sp.n_disp, sp.p, sp.p_ang) == (8, 16, 1, 8, 4)
+    assert sp.flat_tau == 1.3
 
 
 def test_robust_preset_is_the_measured_one():
