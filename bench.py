@@ -69,6 +69,10 @@ def main():
 
     import jax
 
+    from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from lfbm5d_tpu.config import preset_denoise_params
     from lfbm5d_tpu.lf import psnr, psnr_device, synthetic_lf
     from lfbm5d_tpu.lf.noise import add_noise_np

@@ -15,6 +15,9 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from lfbm5d_tpu.config import preset_denoise_params, StepParams  # noqa: E402
+from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
 from lfbm5d_tpu.lf.metrics import psnr_device  # noqa: E402
 from lfbm5d_tpu.lf.noise import add_noise_np  # noqa: E402
 from lfbm5d_tpu.lf.synth import synthetic_lf  # noqa: E402

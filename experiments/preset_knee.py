@@ -75,6 +75,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # compile_first_s becomes a cache
+    # load on repeat shapes; LFBM5D_NO_COMPILE_CACHE=1 restores cold compiles
+
     from lfbm5d_tpu.config import DenoiseParams, StepParams
     from lfbm5d_tpu.lf import psnr, synthetic_lf
     from lfbm5d_tpu.lf.metrics import psnr_device

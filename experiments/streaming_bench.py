@@ -54,6 +54,10 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
+    from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from lfbm5d_tpu.config import DenoiseParams, StepParams
     from lfbm5d_tpu.lf import synthetic_lf
     from lfbm5d_tpu.lf.noise import add_noise_np

@@ -350,6 +350,9 @@ def _positional_to_flags(rest: list[str]) -> list[str]:
 
 
 def main(argv=None) -> int:
+    from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if argv is None:
         argv = sys.argv[1:]
     # reference-style positional block: `lfbm5d denoise <31 positionals>`
