@@ -132,11 +132,14 @@ def _common_io_args(ap):
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--preset", default="default",
-                    choices=sorted(_PRESETS) + ["adaptive"],
+                    choices=sorted(_PRESETS) + ["adaptive", "adaptive-region"],
                     help="parameter preset; explicit per-step flags "
                     "override. 'adaptive' (denoise only) probes the LF's "
                     "angular redundancy and picks 'matched' or 'robust' "
-                    "per content (BASELINE.md content-robustness tables)")
+                    "per content (BASELINE.md content-robustness tables); "
+                    "'adaptive-region' additionally localizes the robust "
+                    "pass to a crop of the static region and composites it "
+                    "over a full-frame matched pass (pipeline/adaptive.py)")
     ap.add_argument("--json", action="store_true",
                     help="emit a structured JSON report on stdout")
 
@@ -176,19 +179,30 @@ def cmd_denoise(ns) -> int:
         return 2
 
     probe_stats = None
+    region_info = None
     if ns.preset == "adaptive":
         from lfbm5d_tpu.pipeline.adaptive import select_preset
 
         ns.preset, probe_stats = select_preset(lf, sigma)
-    params = DenoiseParams(
-        sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
-        ht=_step_params(ns, "ht", 2500.0),
-        wiener=_step_params(ns, "wien", 400.0),
-        chunk=ns.chunk,
-    )
-    with timer.stage("denoise"):
-        basic, final = run_bm5d(lf, params, engine=ns.engine)
-        jax.block_until_ready(final)
+    if ns.preset == "adaptive-region":
+        from lfbm5d_tpu.pipeline.adaptive import denoise_region_adaptive
+
+        with timer.stage("denoise"):
+            basic, final, region_info = denoise_region_adaptive(
+                lf, sigma, engine=ns.engine)
+            jax.block_until_ready(final)
+        probe_stats = region_info["stats"]
+        ns.preset = f"region:{region_info['mode']}"
+    else:
+        params = DenoiseParams(
+            sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
+            ht=_step_params(ns, "ht", 2500.0),
+            wiener=_step_params(ns, "wien", 400.0),
+            chunk=ns.chunk,
+        )
+        with timer.stage("denoise"):
+            basic, final = run_bm5d(lf, params, engine=ns.engine)
+            jax.block_until_ready(final)
 
     with timer.stage("save"):
         # fetch_rounded quantizes on-device so the device->host transfer is
@@ -216,6 +230,11 @@ def cmd_denoise(ns) -> int:
             {"preset_selected": ns.preset,
              "static_fraction": round(probe_stats["static_fraction"], 3)}
             if probe_stats is not None else {}
+        ),
+        **(
+            {"region_box": list(region_info["box"]),
+             "region_area_frac": region_info["area_frac"]}
+            if region_info is not None and "box" in region_info else {}
         ),
         "mpix": round(mpix, 3),
         "seconds_denoise": round(timer.seconds("denoise"), 3),
@@ -247,8 +266,8 @@ def cmd_sr(ns) -> int:
     from lfbm5d_tpu.pipeline.sr import run_sr
     from lfbm5d_tpu.utils.timing import StageTimer
 
-    if ns.preset == "adaptive":
-        print("error: --preset adaptive is denoise-only (the probe's "
+    if ns.preset in ("adaptive", "adaptive-region"):
+        print(f"error: --preset {ns.preset} is denoise-only (the probe's "
               "decision tables are measured for the denoising presets)",
               file=sys.stderr)
         return 2

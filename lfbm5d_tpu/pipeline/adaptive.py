@@ -57,13 +57,20 @@ _STATIC_NOISE_FACTOR = 6.0
 _STATIC_CONTENT_FRACTION = 0.15
 
 
-def content_stats(lf, sigma: float, block: int = 8) -> dict:
-    """Angular-redundancy probe of a (noisy) light field.
+def probe_maps(lf, sigma: float, block: int = 8) -> tuple[dict, np.ndarray]:
+    """Angular-redundancy probe of a (noisy) light field, with the per-block
+    map.
 
     lf: [aH, aW, H, W, C] array-like in [0, 255]; sigma: AWGN std on the
     [0,255] scale (the CLI/bench always know it).
 
-    Returns {static_fraction, n_informative, n_blocks, noise_var_block}.
+    Returns (stats, static_map):
+      stats = {static_fraction, n_informative, n_blocks, noise_var_block}
+      static_map = [H//block, W//block] bool — True exactly for the
+        informative AND static blocks (the content class where aggressive
+        presets measurably lose quality, BASELINE.md). Featureless blocks
+        are NOT in the map: the flat fallback already handles them
+        optimally under any preset.
     """
     lf = np.asarray(lf)
     a_h, a_w = lf.shape[:2]
@@ -73,8 +80,9 @@ def content_stats(lf, sigma: float, block: int = 8) -> dict:
     hb, wb = (p0.shape[0] // b) * b, (p0.shape[1] // b) * b
     vb = 2.0 * sigma * sigma / (b * b)
     if hb == 0 or wb == 0 or (a_h == 1 and a_w == 1):
-        return {"static_fraction": 1.0, "n_informative": 0, "n_blocks": 0,
-                "noise_var_block": vb}
+        stats = {"static_fraction": 1.0, "n_informative": 0, "n_blocks": 0,
+                 "noise_var_block": vb}
+        return stats, np.zeros((max(hb // b, 0), max(wb // b, 0)), bool)
 
     def block_means(p):
         return p[:hb, :wb].reshape(hb // b, b, wb // b, b).mean(axis=(1, 3))
@@ -91,18 +99,25 @@ def content_stats(lf, sigma: float, block: int = 8) -> dict:
     n_inf = int(informative.sum())
     if n_inf < 8:
         # featureless content: angularly redundant by definition
-        return {"static_fraction": 1.0, "n_informative": n_inf,
-                "n_blocks": int(d.size), "noise_var_block": vb}
-    static = d[informative] < np.maximum(
-        _STATIC_NOISE_FACTOR * vb,
-        _STATIC_CONTENT_FRACTION * g[informative],
+        stats = {"static_fraction": 1.0, "n_informative": n_inf,
+                 "n_blocks": int(d.size), "noise_var_block": vb}
+        return stats, np.zeros_like(informative)
+    static_map = informative & (
+        d < np.maximum(_STATIC_NOISE_FACTOR * vb,
+                       _STATIC_CONTENT_FRACTION * g)
     )
-    return {
-        "static_fraction": float(static.mean()),
+    stats = {
+        "static_fraction": float(static_map.sum() / n_inf),
         "n_informative": n_inf,
         "n_blocks": int(d.size),
         "noise_var_block": vb,
     }
+    return stats, static_map
+
+
+def content_stats(lf, sigma: float, block: int = 8) -> dict:
+    """Probe stats only (see probe_maps)."""
+    return probe_maps(lf, sigma, block)[0]
 
 
 def select_preset(lf, sigma: float) -> tuple[str, dict]:
@@ -120,3 +135,165 @@ def adaptive_denoise_params(lf, sigma: float, **kw) -> tuple[DenoiseParams, str,
     """DenoiseParams chosen by the content probe, plus (name, stats)."""
     name, stats = select_preset(lf, sigma)
     return preset_denoise_params(name, sigma, **kw), name, stats
+
+
+# ---------------------------------------------------------------------------
+# Region-adaptive denoising (round-3 agenda: tile-level preset mixing).
+#
+# The LF-level router above is all-or-nothing: one static plane anywhere
+# routes the WHOLE light field to the ~20x slower robust preset. But the
+# probe already localizes the failure: aggressive presets lose quality only
+# ON the angularly-static blocks. Region mode therefore:
+#
+#   1. denoises the full LF at `matched` speed,
+#   2. re-denoises ONLY a bounding crop of the static blocks (expanded by a
+#      margin that covers the denoiser's boundary-effect width) at `robust`
+#      quality,
+#   3. composites the robust interior over the matched output with a linear
+#      feather across the margin (both outputs are valid denoisings within
+#      ~0.4 dB of each other; the feather only prevents a visible seam).
+#
+# Crop dimensions round up to a multiple of `round_to` so repeated calls on
+# same-shaped LFs reuse a small set of compiled programs. When the crop
+# would cover most of the frame the crop saves nothing and the LF-level
+# robust routing is used unchanged.
+# ---------------------------------------------------------------------------
+
+# Boundary-effect width of the two-step pipeline: a pixel's output draws on
+# reference patches up to p-grid distance n away, whose groups span patches
+# up to n + nd further; beyond n + (n + nd) + k the crop interior is
+# context-complete. robust: n=16, nd=1, k=8 -> 41.
+REGION_MARGIN = 48
+# Crop dims round up to this multiple (compile-shape bucketing).
+REGION_ROUND_TO = 32
+# Crop area fraction above which region mode degenerates to LF-level robust.
+REGION_FULL_ROBUST_FRAC = 0.7
+# Fewer static blocks than this is measurement noise, not a static plane.
+REGION_MIN_STATIC_BLOCKS = 12
+
+
+def static_region_box(static_map: np.ndarray, h: int, w: int, block: int = 8,
+                      margin: int = REGION_MARGIN,
+                      round_to: int = REGION_ROUND_TO) -> tuple | None:
+    """Pixel bounding box (y0, y1, x0, x1) of the static blocks, expanded by
+    `margin` and rounded up to `round_to` multiples within the frame.
+    None if the map has no static blocks."""
+    ys, xs = np.nonzero(static_map)
+    if ys.size == 0:
+        return None
+    y0 = max(int(ys.min()) * block - margin, 0)
+    y1 = min((int(ys.max()) + 1) * block + margin, h)
+    x0 = max(int(xs.min()) * block - margin, 0)
+    x1 = min((int(xs.max()) + 1) * block + margin, w)
+
+    def round_span(lo, hi, limit):
+        want = min(-((hi - lo) // -round_to) * round_to, limit)
+        grow = want - (hi - lo)
+        lo = max(lo - grow // 2, 0)
+        hi = min(lo + want, limit)
+        lo = hi - want
+        return lo, hi
+
+    y0, y1 = round_span(y0, y1, h)
+    x0, x1 = round_span(x0, x1, w)
+    return y0, y1, x0, x1
+
+
+def _feather(ch: int, cw: int, box, h: int, w: int,
+             margin: int = REGION_MARGIN) -> np.ndarray:
+    """[ch, cw] float32 composite weight: 1 in the crop interior, linear
+    ramp to 0 at crop edges that are NOT image borders (those pixels lack
+    full search context in the crop AND sit where matched already agrees)."""
+    y0, y1, x0, x1 = box
+    m = float(margin)
+
+    def ramp(n, lo_open, hi_open):
+        d_lo = np.arange(n, dtype=np.float32) + 0.5
+        d_hi = d_lo[::-1]
+        r = np.ones(n, np.float32)
+        if lo_open:
+            r = np.minimum(r, d_lo / m)
+        if hi_open:
+            r = np.minimum(r, d_hi / m)
+        return r
+
+    wy = ramp(ch, y0 > 0, y1 < h)
+    wx = ramp(cw, x0 > 0, x1 < w)
+    return np.minimum(wy[:, None], wx[None, :])
+
+
+def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
+                            dtype: str = "float32", block: int = 8,
+                            margin: int = REGION_MARGIN,
+                            round_to: int = REGION_ROUND_TO,
+                            full_robust_frac: float = REGION_FULL_ROBUST_FRAC,
+                            min_static_blocks: int = REGION_MIN_STATIC_BLOCKS,
+                            params_matched: DenoiseParams | None = None,
+                            params_robust: DenoiseParams | None = None):
+    """Probe-localized preset mixing: matched speed where content moves,
+    robust quality on the static region, feather-composited.
+
+    noisy: [aH, aW, H, W, C] in [0, 255] (numpy or device array).
+    Returns (basic, final, info); info records the route taken
+    ('matched' | 'robust' | 'region'), the probe stats, and in region mode
+    the crop box and its area fraction.
+
+    params_matched/params_robust override the two presets (tests use small
+    search windows; production callers leave them None).
+    """
+    from lfbm5d_tpu.pipeline import run_bm5d
+
+    import jax.numpy as jnp
+
+    h, w = int(noisy.shape[2]), int(noisy.shape[3])
+    if isinstance(noisy, np.ndarray):
+        probe_src = noisy
+    else:
+        # the probe reads the two extreme-corner SAIs; fetch only those from
+        # device LFs (a full-LF fetch costs seconds through the host tunnel)
+        # as a 2x1 angular grid — probe_maps reads [0, 0] and [aH-1, aW-1],
+        # which the stack maps to exactly the same pair.
+        probe_src = np.asarray(
+            jnp.stack([noisy[0, 0], noisy[-1, -1]])
+        )[:, None]
+    stats, smap = probe_maps(probe_src, sigma, block)
+    p_m = params_matched or preset_denoise_params("matched", sigma)
+    p_r = params_robust or preset_denoise_params("robust", sigma)
+
+    box = (static_region_box(smap, h, w, block, margin, round_to)
+           if int(smap.sum()) >= min_static_blocks else None)
+    if box is None:
+        if stats["static_fraction"] >= STATIC_FRACTION_THRESHOLD:
+            # static content the box logic could not localize (e.g. static
+            # blocks everywhere but below min count after the informative
+            # filter) -> LF-level robust, same as select_preset
+            basic, final = run_bm5d(noisy, p_r, dtype, engine)
+            return basic, final, {"mode": "robust", "stats": stats}
+        basic, final = run_bm5d(noisy, p_m, dtype, engine)
+        return basic, final, {"mode": "matched", "stats": stats}
+
+    y0, y1, x0, x1 = box
+    area_frac = (y1 - y0) * (x1 - x0) / float(h * w)
+    if area_frac >= full_robust_frac:
+        basic, final = run_bm5d(noisy, p_r, dtype, engine)
+        return basic, final, {"mode": "robust", "stats": stats,
+                              "box": box, "area_frac": round(area_frac, 3)}
+
+    basic_m, final_m = run_bm5d(noisy, p_m, dtype, engine)
+    noisy_j = noisy if isinstance(noisy, jnp.ndarray) else jnp.asarray(
+        np.asarray(noisy), jnp.dtype(dtype))
+    crop = noisy_j[:, :, y0:y1, x0:x1]
+    basic_r, final_r = run_bm5d(crop, p_r, dtype, engine)
+
+    wgt = jnp.asarray(
+        _feather(y1 - y0, x1 - x0, box, h, w, margin), jnp.dtype(dtype)
+    )[None, None, :, :, None]
+
+    def composite(full, region):
+        patch = wgt * region + (1.0 - wgt) * full[:, :, y0:y1, x0:x1]
+        return full.at[:, :, y0:y1, x0:x1].set(patch.astype(full.dtype))
+
+    info = {"mode": "region", "stats": stats, "box": box,
+            "area_frac": round(area_frac, 3),
+            "crop_shape": [y1 - y0, x1 - x0]}
+    return composite(basic_m, basic_r), composite(final_m, final_r), info
