@@ -178,6 +178,21 @@ def cmd_denoise(ns) -> int:
               file=sys.stderr)
         return 2
 
+    def build_params(preset_name: str) -> DenoiseParams:
+        # route every path through the same merge machinery so explicit
+        # per-step flags and the globals (--lam/--color-space/--chunk)
+        # override the preset uniformly, adaptive modes included
+        saved, ns.preset = ns.preset, preset_name
+        try:
+            return DenoiseParams(
+                sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
+                ht=_step_params(ns, "ht", 2500.0),
+                wiener=_step_params(ns, "wien", 400.0),
+                chunk=ns.chunk,
+            )
+        finally:
+            ns.preset = saved
+
     probe_stats = None
     region_info = None
     if ns.preset == "adaptive":
@@ -189,17 +204,14 @@ def cmd_denoise(ns) -> int:
 
         with timer.stage("denoise"):
             basic, final, region_info = denoise_region_adaptive(
-                lf, sigma, engine=ns.engine)
+                lf, sigma, engine=ns.engine,
+                params_matched=build_params("matched"),
+                params_robust=build_params("robust"))
             jax.block_until_ready(final)
         probe_stats = region_info["stats"]
         ns.preset = f"region:{region_info['mode']}"
     else:
-        params = DenoiseParams(
-            sigma=sigma, lambda_3d=ns.lam, color_space=ns.color_space,
-            ht=_step_params(ns, "ht", 2500.0),
-            wiener=_step_params(ns, "wien", 400.0),
-            chunk=ns.chunk,
-        )
+        params = build_params(ns.preset)
         with timer.stage("denoise"):
             basic, final = run_bm5d(lf, params, engine=ns.engine)
             jax.block_until_ready(final)
@@ -328,6 +340,20 @@ def cmd_sr(ns) -> int:
 # and ignored: XLA owns intra-chip parallelism (SURVEY.md §2 component 9).
 _POSITIONAL_DENOISE = 31
 
+# The reference SR branch ships its own positional main (SURVEY.md §2
+# component 11, §2.9); same reconstruction stance as the denoise block —
+# the parameter vocabulary is the firm part of the spec, the order is this
+# project's documented convention:
+#
+#   lfbm5d sr INPUT_DIR PATTERN AWIDTH AHEIGHT S_OFF T_OFF
+#       SCALE N_ITER SIGMA_INIT SIGMA_FINAL BP_GAIN LAMBDA
+#       N_HARD N_SEARCH_HARD NDISP_HARD K_HARD P_HARD TAU2D_HARD USESD_HARD
+#       TAU4D_HARD TAU5D_HARD
+#       N_WIEN N_SEARCH_WIEN NDISP_WIEN K_WIEN P_WIEN TAU2D_WIEN USESD_WIEN
+#       TAU4D_WIEN TAU5D_WIEN
+#       COLOR_SPACE OUTPUT_DIR CHECKPOINT_DIR|none [NB_THREADS]
+_POSITIONAL_SR = 33
+
 
 def _positional_to_flags(rest: list[str]) -> list[str]:
     """Translate the reference-style positional block to the flagged form."""
@@ -368,19 +394,64 @@ def _positional_to_flags(rest: list[str]) -> list[str]:
     return args
 
 
+def _positional_sr_to_flags(rest: list[str]) -> list[str]:
+    """Translate the reference-style SR positional block to the flagged form."""
+    if len(rest) == _POSITIONAL_SR + 1:
+        rest = rest[:-1]  # trailing NB_THREADS: parsed, advisory only
+    if len(rest) != _POSITIONAL_SR:
+        raise SystemExit(
+            f"error: positional sr form takes {_POSITIONAL_SR} (+ optional "
+            f"NB_THREADS) arguments, got {len(rest)} (see the comment above "
+            "_POSITIONAL_SR for the order)"
+        )
+    (inp, pattern, aw, ah, soff, toff, scale, n_iter, s_init, s_final,
+     bp_gain, lam,
+     nh, nsh, ndh, kh, ph, t2h, sdh, t4h, t5h,
+     nw, nsw, ndw, kw, pw, t2w, sdw, t4w, t5w,
+     cs, outd, ckptd) = rest
+    args = [
+        "sr", "--input", inp, "--pattern", pattern,
+        "--awidth", aw, "--aheight", ah, "--s-offset", soff,
+        "--t-offset", toff, "--scale", scale, "--n-iter", n_iter,
+        "--sigma-init", s_init, "--sigma-final", s_final,
+        "--bp-gain", bp_gain, "--lam", lam,
+        "--color-space", cs, "--output", outd,
+        "--ht-nsim", nh, "--ht-nsearch", nsh, "--ht-ndisp", ndh,
+        "--ht-k", kh, "--ht-p", ph, "--ht-tau2d", t2h,
+        "--ht-tau4d", t4h, "--ht-tau5d", t5h,
+        "--wien-nsim", nw, "--wien-nsearch", nsw, "--wien-ndisp", ndw,
+        "--wien-k", kw, "--wien-p", pw, "--wien-tau2d", t2w,
+        "--wien-tau4d", t4w, "--wien-tau5d", t5w,
+    ]
+    if int(sdh):
+        args += ["--ht-usesd"]
+    if int(sdw):
+        args += ["--wien-usesd"]
+    if ckptd.lower() != "none":
+        args += ["--checkpoint", ckptd]
+    return args
+
+
 def main(argv=None) -> int:
     from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
     if argv is None:
         argv = sys.argv[1:]
-    # reference-style positional block: `lfbm5d denoise <31 positionals>`
+    # reference-style positional blocks: `lfbm5d denoise <31 positionals>` /
+    # `lfbm5d sr <33 positionals>`
     if (
         len(argv) >= 2
         and argv[0] == "denoise"
         and not argv[1].startswith("-")
     ):
         argv = _positional_to_flags(list(argv[1:]))
+    elif (
+        len(argv) >= 2
+        and argv[0] == "sr"
+        and not argv[1].startswith("-")
+    ):
+        argv = _positional_sr_to_flags(list(argv[1:]))
     ap = argparse.ArgumentParser(
         prog="lfbm5d", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,

@@ -275,8 +275,19 @@ def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
     y0, y1, x0, x1 = box
     area_frac = (y1 - y0) * (x1 - x0) / float(h * w)
     if area_frac >= full_robust_frac:
-        basic, final = run_bm5d(noisy, p_r, dtype, engine)
-        return basic, final, {"mode": "robust", "stats": stats,
+        # The crop saves nothing -> degenerate to the LF-level router's
+        # decision. All-moving content has scattered static blocks whose
+        # bounding box can cover most of the frame (static_fraction
+        # ~0.53-0.56, below the threshold): that class belongs on
+        # `matched`, exactly as `select_preset` routes it — only content
+        # the LF-level router would call static gets full-frame robust.
+        if stats["static_fraction"] >= STATIC_FRACTION_THRESHOLD:
+            basic, final = run_bm5d(noisy, p_r, dtype, engine)
+            mode = "robust"
+        else:
+            basic, final = run_bm5d(noisy, p_m, dtype, engine)
+            mode = "matched"
+        return basic, final, {"mode": mode, "stats": stats,
                               "box": box, "area_frac": round(area_frac, 3)}
 
     basic_m, final_m = run_bm5d(noisy, p_m, dtype, engine)

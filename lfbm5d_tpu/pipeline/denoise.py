@@ -436,7 +436,8 @@ def _run_step_launched(sp, lambda_3d, wiener, xp, mp, sigma_c, bp,
     return raw.finalize(num, den)
 
 
-def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype):
+def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype,
+                       sigma_c=None):
     """Two-step pipeline as many bounded device launches (big configs)."""
     dt = jnp.dtype(dtype)
     a_h, a_w, h, w, c = lf.shape
@@ -448,7 +449,8 @@ def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype):
         m = np.asarray(color_matrix(params.color_space))
         mi = jnp.asarray(np.linalg.inv(m), dt)
         x = x @ jnp.asarray(m, dt).T
-    sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+    if sigma_c is None:
+        sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
 
     xp = _flat_pad(x, params.ht.pad)
     num, den = _run_step_launched(
@@ -484,7 +486,7 @@ def _banked_fused_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype):
     return jax.jit(lambda np_, mp_, sc_: raw(np_, mp_, sc_, None))
 
 
-def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype):
+def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype, sigma_c=None):
     """Two-step pipeline for >128-SAI grids through the BANKED-FUSED kernel.
 
     Deliberately structured as SEPARATE per-step jit programs with the
@@ -504,7 +506,8 @@ def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype):
         m = np.asarray(color_matrix(params.color_space))
         mi = jnp.asarray(np.linalg.inv(m), dt)
         x = x @ jnp.asarray(m, dt).T
-    sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+    if sigma_c is None:
+        sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
 
     ht = _banked_fused_step_jit(
         params.ht, params.lambda_3d, a_h, a_w, h, w, c, False, dtype
@@ -528,11 +531,17 @@ def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype):
 
 
 def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
-             engine: str = "auto"):
+             engine: str = "auto", sigma_c=None):
     """Full two-step pipeline. noisy_lf: [aH,aW,H,W,C] RGB/gray in [0,255].
 
     Returns (basic, final) jnp arrays in the input color space. engine:
     'auto' (Pallas kernels on TPU, XLA elsewhere), 'pallas', or 'xla'.
+
+    sigma_c optionally overrides the per-channel noise stds as a TRACED
+    array (shape [C]); params.sigma is then ignored at runtime and the jit
+    caches key only on params — this is how run_sr sweeps its sigma
+    schedule through ONE compilation per geometry while still inheriting
+    this function's launched/banked execution routing.
     """
     # device arrays pass through as-is (np.asarray would round-trip them
     # back to the host — seconds through the axon tunnel at 9x9 scale)
@@ -558,14 +567,15 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
         # 17x17x128x128 RGB (7.8M slots, 3 banks) this form STILL faults the
         # worker (round-3 measurement, docs/DESIGN_NOTES.md), so bigger
         # banked configs take the round-2-proven two-kernel path below.
-        return _run_bm5d_banked_fused(lf, params, dtype)
+        return _run_bm5d_banked_fused(lf, params, dtype, sigma_c)
     if on_tpu_pallas and max_slots > (
         _BANKED_SLOT_LIMIT if banked else _LAUNCH_SLOT_LIMIT
     ):
         return _run_bm5d_launched(
             lf, params, dtype,
-            "bfloat16" if eng == "pallas_bf16" else None,
+            "bfloat16" if eng == "pallas_bf16" else None, sigma_c,
         )
     fn = _build_denoise_jit(params, a_h, a_w, h, w, c, dtype, eng)
-    sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
+    if sigma_c is None:
+        sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
     return fn(lf, sigma_c)

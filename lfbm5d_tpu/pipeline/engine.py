@@ -64,11 +64,6 @@ from lfbm5d_tpu.transforms.flat import FlatTransforms, forward_flat, inverse_fla
 
 _LANES = 128
 
-# A/B switch for the angular-table row-gather width (live width, e.g. 88
-# for 9x9, vs the full 128-lane pad). The round-2 live-width change was
-# never validated end-to-end; the round-3 launched profile put this gather
-# at 40% of default-parameter device time, so it is being re-measured.
-_ANG_TABLE_FULL_WIDTH = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -384,9 +379,15 @@ def build_kernel_step(
     else:
         use_direct = _mode not in ("take", "dma")
     use_dma_gather = (not interpret) and _mode == "dma"
-    if use_direct or use_dma_gather or _ANG_TABLE_FULL_WIDTH or banks > 1:
+    if use_direct or use_dma_gather or banks > 1:
         ang_w = a_pad
     else:
+        # take-mode gathers the live angular width only (e.g. 88 rounded
+        # up to 8 sublanes for 9x9 grids, vs the 128-lane pad). The
+        # round-3 re-measurement closed the question: the suspect 40% of
+        # default-parameter device time was select_similar's sorted-row
+        # gather (since removed, the "tau-count fix"), not this table —
+        # the live-width take path is correct and throughput-neutral.
         ang_w = max(8, _round_up(a, 8))
     # flat-region chunk skipping (StepParams.flat_tau + ops/flat.py): live
     # groups are compacted to the front chunks of each (tile, ref) and the

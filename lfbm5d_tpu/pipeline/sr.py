@@ -23,11 +23,7 @@ import jax.numpy as jnp
 
 from lfbm5d_tpu.config import DenoiseParams, SRParams
 from lfbm5d_tpu.lf.resize import downsample, upsample
-from lfbm5d_tpu.pipeline.denoise import (
-    _build_denoise_jit,
-    _resolve_engine,
-    _sigma_channels,
-)
+from lfbm5d_tpu.pipeline.denoise import _sigma_channels, run_bm5d
 
 
 def sigma_schedule(params: SRParams) -> np.ndarray:
@@ -46,10 +42,13 @@ def run_sr(lr_lf, params: SRParams, on_iteration=None, dtype: str = "float32",
         lr = jnp.asarray(np.asarray(lr_lf), jnp.dtype(dtype))
     hr = upsample(lr, params.scale)
     a_h, a_w, h, w, c = hr.shape
-    # One jitted pipeline serves every iteration: sigma enters only as the
-    # traced sigma_c argument, so the compilation key must not vary with the
-    # schedule (a per-iteration DenoiseParams(sigma=...) key was measured to
-    # retrace/recompile every iteration — n_iter full compiles).
+    # Every iteration's filter goes through run_bm5d so SR inherits its
+    # launched/banked execution routing — a default-ish step preset at
+    # flagship HR shapes exceeds the single-program slot bound and would
+    # fault the device if compiled as one program (the regime
+    # _LAUNCH_SLOT_LIMIT exists for). Sigma enters only as the traced
+    # sigma_c argument and params.sigma stays 0.0 in the jit key, so one
+    # compilation per geometry still serves the whole schedule.
     dn = DenoiseParams(
         sigma=0.0,
         lambda_3d=params.lambda_3d,
@@ -58,13 +57,10 @@ def run_sr(lr_lf, params: SRParams, on_iteration=None, dtype: str = "float32",
         wiener=params.wiener,
         chunk=params.chunk,
     )
-    fn = _build_denoise_jit(
-        dn, a_h, a_w, h, w, c, dtype, _resolve_engine(engine, a_h * a_w)
-    )
     schedule = sigma_schedule(params)
     for i, sigma in enumerate(schedule):
         sigma_c = _sigma_channels(float(sigma), params.color_space, c, dtype)
-        _, hr = fn(hr, sigma_c)
+        _, hr = run_bm5d(hr, dn, dtype, engine, sigma_c=sigma_c)
         residual = lr - downsample(hr, params.scale, params.decimation_blur)
         hr = hr + params.bp_gain * upsample(residual, params.scale)
         if on_iteration is not None:

@@ -10,13 +10,18 @@ noisy input, across seeds — the probe only ever sees what the CLI sees.
 import numpy as np
 import pytest
 
-from lfbm5d_tpu.config import PRESETS, preset_denoise_params
+from lfbm5d_tpu.config import PRESETS, DenoiseParams, StepParams, \
+    preset_denoise_params
 from lfbm5d_tpu.lf import synthetic_lf
 from lfbm5d_tpu.lf.noise import add_noise_np
 from lfbm5d_tpu.pipeline.adaptive import (
     STATIC_FRACTION_THRESHOLD,
+    _feather,
     content_stats,
+    denoise_region_adaptive,
+    probe_maps,
     select_preset,
+    static_region_box,
 )
 
 
@@ -76,6 +81,200 @@ def test_preset_params_builders():
         8, 16, 1, 8, 4)
     assert p.ht.tau_match == 2500.0 and p.wiener.tau_match == 400.0
     assert set(PRESETS) == {"default", "fast", "matched", "robust"}
+
+
+# ---------------------------------------------------------------------------
+# Region-adaptive machinery (ADVICE r3: seam-sensitive indexing code needs
+# direct CPU tests — box rounding/clamping, feather edge logic, composite
+# indexing, and the large-box fallback route).
+# ---------------------------------------------------------------------------
+
+
+def _paste_static_patch(clean, box, seed=100):
+    """Paste a block-contrast texture IDENTICALLY into every SAI at the
+    (y0, y1, x0, x1) pixel box: angularly static, informative blocks
+    (strong 8x8 block-mean variation) exactly there."""
+    y0, y1, x0, x1 = box
+    rng = np.random.default_rng(seed)
+    cells = rng.uniform(30, 225, ((y1 - y0) // 8 + 1, (x1 - x0) // 8 + 1))
+    clean[:, :, y0:y1, x0:x1, 0] = np.kron(
+        cells, np.ones((8, 8)))[: y1 - y0, : x1 - x0]
+    return clean
+
+
+def _flat_bg_static_patch_lf(box, a=3, h=96, w=160, sigma=25.0):
+    """Featureless background + one pasted static textured patch: the probe's
+    informative blocks exist ONLY at the patch, so the static map localizes
+    it regardless of grid size (moving content needs the 9x9 baseline
+    geometry for class separation, see the landscape in the module doc)."""
+    clean = np.full((a, a, h, w, 1), 128.0)
+    return add_noise_np(_paste_static_patch(clean, box), sigma, seed=1)
+
+
+def test_probe_maps_marks_pasted_static_patch():
+    """Probe map direction 1: blocks strictly inside an angularly-static
+    textured patch must be in the map (informative AND static), on moving
+    9x9 content — the geometry the thresholds were measured on."""
+    box = (40, 72, 64, 112)
+    clean = synthetic_lf(9, 9, 128, 192, channels=1, disp_bg=1, disp_fg=2,
+                         seed=0)
+    noisy = add_noise_np(_paste_static_patch(clean, box), 25.0, seed=1)
+    _, smap = probe_maps(noisy, 25.0)
+    # patch-interior blocks (excluding the contrast boundary ring)
+    interior = smap[box[0] // 8 + 1: box[1] // 8 - 1,
+                    box[2] // 8 + 1: box[3] // 8 - 1]
+    assert interior.all(), interior
+
+
+def test_probe_maps_localizes_on_flat_background():
+    """Probe map direction 2: with a featureless background the map
+    concentrates on the pasted patch and its one-block contrast ring — a
+    few noise-induced informative blocks elsewhere are expected (the
+    informative test is a ~2.8-sigma cut on block-mean diffs), so the
+    assertion is concentration, not exclusivity."""
+    box = (32, 56, 64, 96)
+    stats, smap = probe_maps(_flat_bg_static_patch_lf(box), 25.0)
+    assert stats["static_fraction"] > 0.9
+    ring = np.zeros_like(smap)
+    ring[box[0] // 8 - 1: box[1] // 8 + 1,
+         box[2] // 8 - 1: box[3] // 8 + 1] = True
+    in_ring = int((smap & ring).sum())
+    outside = int((smap & ~ring).sum())
+    assert in_ring >= 12
+    assert outside <= 0.25 * in_ring, (in_ring, outside)
+
+
+def test_static_region_box_invariants():
+    h, w = 128, 192
+    smap = np.zeros((h // 8, w // 8), bool)
+    smap[5:9, 8:14] = True  # pixel box y [40,72), x [64,112)
+    box = static_region_box(smap, h, w, margin=48, round_to=32)
+    y0, y1, x0, x1 = box
+    # containment: margin-expanded static pixels inside, clamped to frame
+    assert 0 <= y0 <= max(40 - 48, 0) and min(72 + 48, h) <= y1 <= h
+    assert 0 <= x0 <= max(64 - 48, 0) and min(112 + 48, w) <= x1 <= w
+    # rounding: spans are multiples of 32 unless clamped by the frame
+    assert (y1 - y0) % 32 == 0 or (y0 == 0 and y1 == h)
+    assert (x1 - x0) % 32 == 0 or (x0 == 0 and x1 == w)
+    # empty map -> no box
+    assert static_region_box(np.zeros_like(smap), h, w) is None
+    # full map -> the whole frame, never out of bounds
+    fb = static_region_box(np.ones_like(smap), h, w)
+    assert fb == (0, h, 0, w)
+
+
+def test_feather_interior_and_open_edges():
+    h, w, m = 256, 384, 48
+    # box with all four edges open (inside the frame)
+    f = _feather(128, 160, (64, 192, 96, 256), h, w, margin=m)
+    assert f.shape == (128, 160)
+    assert np.all(f[m:-m, m:-m] == 1.0)  # interior past the margin
+    assert f[0, 80] < 0.02 and f[-1, 80] < 0.02  # ~0 at open edges
+    assert f[64, 0] < 0.02 and f[64, -1] < 0.02
+    # box flush to the top-left image corner: those edges stay 1
+    g = _feather(128, 160, (0, 128, 0, 160), h, w, margin=m)
+    assert np.all(g[0, : 160 - m] == 1.0) and np.all(g[: 128 - m, 0] == 1.0)
+    assert g[64, -1] < 0.02  # the open edges still ramp
+
+
+_TINY_STEP = dict(n_sim=4, n_search=4, n_disp=1, p=6, tau_2d="dct")
+
+
+def _tiny_params(n_search):
+    return DenoiseParams(
+        sigma=25.0,
+        ht=StepParams(tau_match=2500.0, **{**_TINY_STEP,
+                                           "n_search": n_search}),
+        wiener=StepParams(tau_match=400.0, **{**_TINY_STEP,
+                                              "n_search": n_search}),
+        chunk=64,
+    )
+
+
+def test_region_composite_end_to_end():
+    """Composite equals the matched pass exactly outside the box and the
+    robust crop pass in the feather-complete interior (probe-driven route,
+    no mocking: flat background localizes the static patch)."""
+    from lfbm5d_tpu.pipeline import run_bm5d
+
+    noisy = _flat_bg_static_patch_lf((32, 56, 64, 96), h=96, w=160)
+    p_m, p_r = _tiny_params(4), _tiny_params(6)
+    margin = 16
+    basic, final, info = denoise_region_adaptive(
+        noisy, 25.0, engine="xla", margin=margin, round_to=16,
+        min_static_blocks=4, params_matched=p_m, params_robust=p_r)
+    assert info["mode"] == "region", info
+    y0, y1, x0, x1 = info["box"]
+    final = np.asarray(final)
+    fm = np.asarray(run_bm5d(noisy, p_m, engine="xla")[1])
+    # outside the box: bit-identical to the matched pass
+    outside = np.ones(final.shape, bool)
+    outside[:, :, y0:y1, x0:x1] = False
+    np.testing.assert_array_equal(final[outside], fm[outside])
+    # feather-complete interior: the robust crop pass at weight exactly 1
+    # (edges flush with the image border are closed: no ramp there)
+    fr = np.asarray(run_bm5d(noisy[:, :, y0:y1, x0:x1], p_r,
+                             engine="xla")[1])
+    iy0 = y0 + margin if y0 > 0 else y0
+    iy1 = y1 - margin if y1 < 96 else y1
+    ix0 = x0 + margin if x0 > 0 else x0
+    ix1 = x1 - margin if x1 < 160 else x1
+    ii = final[:, :, iy0:iy1, ix0:ix1]
+    ri = fr[:, :, iy0 - y0: iy1 - y0, ix0 - x0: ix1 - x0]
+    np.testing.assert_allclose(ii, ri, atol=1e-4)
+
+
+def test_large_box_scattered_static_falls_back_to_router(monkeypatch):
+    """ADVICE r3 fix: a frame-spanning static-block bounding box on content
+    the LF-level router calls MOVING (static_fraction < threshold — the
+    measured all-moving landscape is ~0.53-0.56 with scattered static
+    blocks) must run matched, not the ~20x full-frame robust. The probe is
+    stubbed to that exact landscape so the route is deterministic at CPU
+    test scale (class separation needs the 9x9 x 224x320 geometry the
+    thresholds were measured on)."""
+    import lfbm5d_tpu.pipeline.adaptive as adaptive_mod
+
+    noisy = add_noise_np(
+        synthetic_lf(3, 3, 64, 96, channels=1, disp_bg=1, disp_fg=2, seed=0),
+        25.0, seed=1)
+    smap = np.zeros((8, 12), bool)
+    smap[:2, :3] = True
+    smap[-2:, -3:] = True  # opposite corners -> frame-spanning box
+    stats = {"static_fraction": 0.55, "n_informative": 40,
+             "n_blocks": 96, "noise_var_block": 19.5}
+    monkeypatch.setattr(adaptive_mod, "probe_maps",
+                        lambda lf, sigma, block=8: (dict(stats), smap))
+    p_m, p_r = _tiny_params(4), _tiny_params(6)
+    basic, final, info = denoise_region_adaptive(
+        noisy, 25.0, engine="xla", params_matched=p_m, params_robust=p_r)
+    assert info["mode"] == "matched", info
+    assert info["area_frac"] >= 0.7
+    from lfbm5d_tpu.pipeline import run_bm5d
+
+    fm = np.asarray(run_bm5d(noisy, p_m, engine="xla")[1])
+    np.testing.assert_array_equal(np.asarray(final), fm)
+
+
+def test_large_box_static_majority_runs_robust(monkeypatch):
+    """Companion to the fallback fix: the same frame-spanning box on content
+    the router calls STATIC keeps the full-frame robust route."""
+    import lfbm5d_tpu.pipeline.adaptive as adaptive_mod
+
+    noisy = add_noise_np(
+        synthetic_lf(3, 3, 64, 96, channels=1, disp_bg=0, disp_fg=1, seed=0),
+        25.0, seed=1)
+    smap = np.zeros((8, 12), bool)
+    smap[:4, :] = True
+    smap[-2:, -3:] = True
+    stats = {"static_fraction": 0.9, "n_informative": 40,
+             "n_blocks": 96, "noise_var_block": 19.5}
+    monkeypatch.setattr(adaptive_mod, "probe_maps",
+                        lambda lf, sigma, block=8: (dict(stats), smap))
+    p_m, p_r = _tiny_params(4), _tiny_params(6)
+    basic, final, info = denoise_region_adaptive(
+        noisy, 25.0, engine="xla", params_matched=p_m, params_robust=p_r)
+    assert info["mode"] == "robust", info
+    assert info["area_frac"] >= 0.7
 
 
 def test_cli_presets_track_config_presets():

@@ -95,3 +95,28 @@ def test_positional_reference_cli(tmp_path):
     from lfbm5d_tpu.lf.noise import add_noise_np
     noisy = add_noise_np(clean, 20.0, seed=0)
     assert psnr(np.clip(lf, 0, 255), clean) > psnr(np.clip(noisy, 0, 255), clean) + 2.0
+
+
+def test_positional_sr_cli(lf_dir, tmp_path):
+    """VERDICT r3 item 7 / SURVEY.md §2 component 11: the reference SR branch
+    ships its own positional main; the 33-positional sr block must run the
+    same semantics as the flagged form (order documented at
+    cli._POSITIONAL_SR)."""
+    d, clean = lf_dir
+    out = str(tmp_path / "hr")
+    ck = str(tmp_path / "ck")
+    argv = (
+        f"sr {d} SAI_%02d_%02d.png 2 2 0 0 "
+        "2 2 12 4 1.0 2.7 "
+        "4 3 1 8 4 dct 0 dct haar "
+        "4 3 1 8 4 dct 0 dct haar "
+        "opp " + out + " " + ck + " 4"
+    ).split()
+    assert main(argv) == 0
+    hr = load_lf(out, "SAI_%02d_%02d.png", 2, 2)
+    assert hr.shape == (2, 2, 40, 48, 3)
+    ck_lf = load_lf(str(tmp_path / "ck" / "iter_00"), "SAI_%02d_%02d.png", 2, 2)
+    assert ck_lf.shape == hr.shape
+    # wrong arity fails loudly, not silently misparsed
+    with pytest.raises(SystemExit):
+        main(["sr", str(d), "SAI_%02d_%02d.png", "2", "2"])
