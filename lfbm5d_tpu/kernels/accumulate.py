@@ -26,10 +26,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lfbm5d_tpu.kernels.mux import mux_dydx as _mux_dydx
+from lfbm5d_tpu.kernels.mux import mux_place as _mux_place
+
 
 def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
+    sent = nsel * nsel
 
     def kernel(sy_ref, sx_ref, vals_ref, doff_ref, acc_ref):
         i = pl.program_id(0) // planes  # tile index: planes share metadata
@@ -44,20 +48,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int):
             x = sx_ref[i, j, s]
             patch = vals_ref[0, pl.ds(s * k * k, k * k), :].reshape(k, k, l)
             d = doff_ref[0, s, :]
-            dy = d // nsel
-            dx = d - dy * nsel
-            dy = dy[None, None, :]
-            dx = dx[None, None, :]
-            # per-lane horizontal placement at cols dx..dx+k
-            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                placed = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
-                accx = jnp.where(dx == m, placed, accx)
-            # per-lane vertical placement at rows dy..dy+k
-            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                placed = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
-                sup = jnp.where(dy == m, placed, sup)
+            dy, dx = _mux_dydx(d, nsel, sent)
+            sup = _mux_place(patch, dy, dx, k, sk, nsel)
             cur = acc_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
             acc_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur + sup
             return 0
@@ -71,6 +63,7 @@ def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int,
                        refs: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
+    sent = nsel * nsel
 
     def kernel(sy_ref, sx_ref, wv_ref, vals_ref, doff_ref, kai_ref,
                num_ref, den_ref):
@@ -85,26 +78,11 @@ def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int,
             num_ref[...] = jnp.zeros_like(num_ref)
             den_ref[...] = jnp.zeros_like(den_ref)
 
-        def place(patch, dy, dx):
-            """Per-lane disparity placement of [k, k, l] into [sk, sk, l]."""
-            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                shifted = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
-                accx = jnp.where(dx == m, shifted, accx)
-            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                shifted = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
-                sup = jnp.where(dy == m, shifted, sup)
-            return sup
-
         def body(s, _):
             y = sy_ref[i, j, s]
             x = sx_ref[i, j, s]
             d = doff_ref[0, s, :]
-            dy = d // nsel
-            dx = d - dy * nsel
-            dy = dy[None, None, :]
-            dx = dx[None, None, :]
+            dy, dx = _mux_dydx(d, nsel, sent)
             pn = vals_ref[0, pl.ds(s * k * k, k * k), :].reshape(k, k, l)
             # den patch is lane-invariant (weight x kaiser): built in-register
             # from the per-slot scalar weight (SMEM) instead of a group-sized
@@ -112,8 +90,8 @@ def _make_fused_kernel(k: int, nd: int, sc: int, l: int, planes: int,
             pd = jnp.broadcast_to(
                 (wv_ref[ip, j, s] * kai_ref[...]).astype(pn.dtype), (k, k, l)
             )
-            sup_n = place(pn, dy, dx)
-            sup_d = place(pd, dy, dx)
+            sup_n = _mux_place(pn, dy, dx, k, sk, nsel)
+            sup_d = _mux_place(pd, dy, dx, k, sk, nsel)
             cur_n = num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
             num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
             cur_d = den_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
@@ -216,6 +194,10 @@ def accumulate_groups(
       Invalid/padded slots must carry zero values.
     sy/sx: [n_tiles, n_chunks, Sc] int32 — superpatch origins, band-relative.
     doff:  [n_tiles, n_chunks, Sc, L] int32 — per-lane flat disparity index.
+      Sentinel indices (>= (2nd+1)^2) are clamped to the last offset, so
+      sentinel lanes must carry zero values (the engine zero-weights masked
+      slots; placement never crosses lanes, so angular padding lanes can
+      only pollute themselves and are discarded downstream).
     Returns acc bands [n_tiles*planes, bh, bw, L].
     """
     nb, n_chunks, rows, l = vals.shape

@@ -31,10 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lfbm5d_tpu.kernels.mux import mux_select as _mux_select
+
 
 def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int, refs: int):
     sk = k + 2 * nd
     nsel = 2 * nd + 1
+    sent = nsel * nsel
 
     def kernel(sy_ref, sx_ref, band_ref, doff_ref, out_ref):
         ip = pl.program_id(0)  # grid dim0 ordered (tile, plane, ref)
@@ -45,19 +48,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, planes: int, refs: int):
             y = sy_ref[i, j, s]
             x = sx_ref[i, j, s]
             sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]  # [sk, sk, L]
-            d = doff_ref[0, s, :]  # [L] flat disparity index
-            dy = d // nsel
-            dx = d - dy * nsel
-            dy = dy[None, None, :]
-            dx = dx[None, None, :]
-            # per-lane vertical alignment: select rows dy..dy+k
-            acc = jnp.zeros((k, sk, l), dtype=sup.dtype)
-            for m in range(nsel):
-                acc = jnp.where(dy == m, sup[m : m + k, :, :], acc)
-            # per-lane horizontal alignment: select cols dx..dx+k
-            patch = jnp.zeros((k, k, l), dtype=sup.dtype)
-            for m in range(nsel):
-                patch = jnp.where(dx == m, acc[:, m : m + k, :], patch)
+            d = doff_ref[0, s, :]  # [L] flat disparity index; >= sent -> 0
+            patch = _mux_select(sup, d, k, nsel, sent)
             out_ref[0, pl.ds(s * k * k, k * k), :] = patch.reshape(k * k, l)
             return 0
 

@@ -45,6 +45,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lfbm5d_tpu.kernels.mux import mux_dydx as _mux_dydx
+from lfbm5d_tpu.kernels.mux import mux_place as _mux_place
+from lfbm5d_tpu.kernels.mux import mux_select as _mux_select
+
 
 def _shrink_dtypes(dt):
     """(matmul accumulation dtype, shrink/weight math dtype) for group dtype."""
@@ -205,14 +209,7 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             y, x = slot_pos(s)
             sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :].astype(dt)
             d = doff_ref[0, s, :]  # [L]; sentinel rows select nothing -> 0
-            dy = (d // nsel)[None, None, :]
-            dx = (d - (d // nsel) * nsel)[None, None, :]
-            acc = jnp.zeros((k, sk, l), dtype=sup.dtype)
-            for m in range(nsel):
-                acc = jnp.where(dy == m, sup[m : m + k, :, :], acc)
-            patch = jnp.zeros((k, k, l), dtype=sup.dtype)
-            for m in range(nsel):
-                patch = jnp.where(dx == m, acc[:, m : m + k, :], patch)
+            patch = _mux_select(sup, d, k, nsel, sent)
             out_ref[pl.ds(s * kk, kk), :] = patch.reshape(kk, l)
 
         def ext_body(s, _):
@@ -340,17 +337,6 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         scrb_ref[pl.ds(0, sc), :] = wm.reshape(sc, l)
 
         # ---- aggregation: per-lane placement + race-free RMW ----
-        def place(patch, dy, dx):
-            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                shifted = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
-                accx = jnp.where(dx == m, shifted, accx)
-            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                shifted = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
-                sup = jnp.where(dy == m, shifted, sup)
-            return sup
-
         out_dt = _out_dtype(dt)
 
         iy_oh = jax.lax.broadcasted_iota(jnp.int32, (nsel, nsel, l), 0)
@@ -359,11 +345,10 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         def agg_body(s, _):
             y, x = slot_pos(s)
             d = doff_ref[0, s, :]
-            dm = jnp.minimum(d, sent - 1)  # sentinel -> mask-zeroed values
-            dy = (dm // nsel)[None, None, :]
-            dx = (dm - (dm // nsel) * nsel)[None, None, :]
+            # sentinel -> clamped offsets placing mask-zeroed values
+            dy, dx = _mux_dydx(d, nsel, sent)
             pn = scr_ref[pl.ds(s * kk, kk), :].reshape(k, k, l)
-            sup_n = place(pn, dy, dx).astype(out_dt)
+            sup_n = _mux_place(pn, dy, dx, k, sk, nsel).astype(out_dt)
             cur_n = num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :]
             num_ref[0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
             # deferred den: scatter the slot's weight scalar through a
@@ -565,14 +550,7 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
             y, x = slot_pos(s)
             sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :].astype(dt)
             d = doff_ref[0, b * sc + s, :]
-            dy = (d // nsel)[None, None, :]
-            dx = (d - (d // nsel) * nsel)[None, None, :]
-            acc = jnp.zeros((k, sk, l), dtype=dt)
-            for m in range(nsel):
-                acc = jnp.where(dy == m, sup[m : m + k, :, :], acc)
-            patch = jnp.zeros((k, k, l), dtype=dt)
-            for m in range(nsel):
-                patch = jnp.where(dx == m, acc[:, m : m + k, :], patch)
+            patch = _mux_select(sup, d, k, nsel, sent)
             out_ref[pl.ds(s * kk, kk), :] = patch.reshape(kk, l)
 
         def ext_body(s, _):
@@ -717,17 +695,6 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
         # slot-uniform across banks, so one copy in scratch 0 serves all.
         scrb_refs[0][pl.ds(0, sc), :] = wm.reshape(sc, l)
 
-        def place(patch, dy, dx):
-            accx = jnp.zeros((k, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                shifted = jnp.pad(patch, ((0, 0), (m, sk - k - m), (0, 0)))
-                accx = jnp.where(dx == m, shifted, accx)
-            sup = jnp.zeros((sk, sk, l), dtype=patch.dtype)
-            for m in range(nsel):
-                shifted = jnp.pad(accx, ((m, sk - k - m), (0, 0), (0, 0)))
-                sup = jnp.where(dy == m, shifted, sup)
-            return sup
-
         out_dt = _out_dtype(dt)
 
         iy_oh = jax.lax.broadcasted_iota(jnp.int32, (nsel, nsel, l), 0)
@@ -738,11 +705,9 @@ def _make_banked_kernel(k: int, nd: int, sc: int, l: int, n_sim: int,
             w_row = scrb_refs[0][pl.ds(s, 1), :].reshape(1, 1, l)
             for b in range(banks):
                 d = doff_ref[0, b * sc + s, :]
-                dm = jnp.minimum(d, sent - 1)
-                dy = (dm // nsel)[None, None, :]
-                dx = (dm - (dm // nsel) * nsel)[None, None, :]
+                dy, dx = _mux_dydx(d, nsel, sent)
                 pn = scr_refs[b][pl.ds(s * kk, kk), :].reshape(k, k, l)
-                sup_n = place(pn, dy, dx).astype(out_dt)
+                sup_n = _mux_place(pn, dy, dx, k, sk, nsel).astype(out_dt)
                 cur_n = num_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :]
                 num_refs[b][0, pl.ds(y, sk), pl.ds(x, sk), :] = cur_n + sup_n
                 sup_w = jnp.where(
