@@ -59,12 +59,33 @@ def _jit_sharded_vmap(fn, mesh, axis):
     ))
 
 
+def _run_with_retry(call, args, retries: int, on_fail: str, fallback):
+    """Driver-level failure isolation (SURVEY.md §5.3): retry a per-LF (or
+    per-chunk) device call, then degrade per `on_fail`.
+
+    'raise' re-raises; 'identity' substitutes `fallback()` (the noisy
+    input as both basic and final — the batch survives, the bad LF is
+    reported). Returns (result, n_attempts, error_or_None)."""
+    err = None
+    for attempt in range(retries + 1):
+        try:
+            return call(*args), attempt + 1, None
+        except Exception as e:  # XlaRuntimeError etc. — device faults
+            err = e
+    if on_fail == "identity":
+        return fallback(), retries + 1, err
+    raise err
+
+
 def denoise_batch(
     lfs,
     params: DenoiseParams,
     mesh: Mesh | None = None,
     dtype: str = "float32",
     engine: str = "xla",
+    retries: int = 0,
+    on_fail: str = "raise",
+    return_report: bool = False,
 ):
     """Denoise a batch of LFs [B, aH, aW, H, W, C].
 
@@ -79,6 +100,15 @@ def denoise_batch(
     shard_map call running ONE LF per device. Whole LFs stay embarrassingly
     parallel over the mesh with zero collectives inside an LF
     (SURVEY.md §5.8); per-chunk dispatch overhead is milliseconds.
+
+    Failure isolation (SURVEY.md §5.3): with retries > 0 and/or
+    on_fail='identity', a faulted device call is retried and then — instead
+    of poisoning the whole batch — replaced by the identity estimate (the
+    noisy input) for its LF (host-loop paths) or its mesh-sized chunk (the
+    sharded chunk path; that is the call granularity). The vmapped XLA
+    paths run the whole batch as ONE program, so isolation there is
+    retry-only. With return_report=True, also returns a list of
+    {index, attempts, error} entries for degraded LFs/chunks.
     """
     # device arrays pass through as-is: np.asarray(lfs) here round-tripped
     # the WHOLE batch device->host->device on every call (measured 17 s/LF
@@ -96,15 +126,38 @@ def denoise_batch(
         engine == "auto" and jax.default_backend() == "tpu"
     )
 
+    report: list[dict] = []
+
+    def _pack(pair):
+        return (pair, report) if return_report else pair
+
     if mesh is None:
         if kernel_engine:
             jfn = _jit_per_lf(fn)
-            outs = [jfn(lfs[i], sigma_c) for i in range(b)]
-            return (
+            outs = []
+            for i in range(b):
+                out, attempts, err = _run_with_retry(
+                    jfn, (lfs[i], sigma_c), retries, on_fail,
+                    lambda i=i: (lfs[i], lfs[i]),
+                )
+                if err is not None:
+                    report.append(
+                        {"index": i, "attempts": attempts, "error": repr(err)}
+                    )
+                outs.append(out)
+            return _pack((
                 jnp.stack([o[0] for o in outs]),
                 jnp.stack([o[1] for o in outs]),
+            ))
+        out, attempts, err = _run_with_retry(
+            _jit_vmapped(fn), (lfs, sigma_c), retries, on_fail,
+            lambda: (lfs, lfs),
+        )
+        if err is not None:
+            report.append(
+                {"index": None, "attempts": attempts, "error": repr(err)}
             )
-        return _jit_vmapped(fn)(lfs, sigma_c)
+        return _pack(out)
 
     (axis,) = mesh.axis_names
     if b % mesh.size:
@@ -118,11 +171,27 @@ def denoise_batch(
             chunk = jax.device_put(
                 lfs[j : j + mesh.size], NamedSharding(mesh, P(axis))
             )
-            outs.append(sharded_one(chunk, sigma_c))
-        return (
+            out, attempts, err = _run_with_retry(
+                sharded_one, (chunk, sigma_c), retries, on_fail,
+                lambda j=j: (lfs[j : j + mesh.size], lfs[j : j + mesh.size]),
+            )
+            if err is not None:
+                report.append(
+                    {"index": j, "attempts": attempts, "error": repr(err)}
+                )
+            outs.append(out)
+        return _pack((
             jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]),
-        )
+        ))
 
     lfs = jax.device_put(lfs, NamedSharding(mesh, P(axis)))
-    return _jit_sharded_vmap(fn, mesh, axis)(lfs, sigma_c)
+    out, attempts, err = _run_with_retry(
+        _jit_sharded_vmap(fn, mesh, axis), (lfs, sigma_c), retries, on_fail,
+        lambda: (lfs, lfs),
+    )
+    if err is not None:
+        report.append(
+            {"index": None, "attempts": attempts, "error": repr(err)}
+        )
+    return _pack(out)
