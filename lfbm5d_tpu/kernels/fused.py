@@ -49,6 +49,11 @@ from lfbm5d_tpu.kernels.mux import mux_dydx as _mux_dydx
 from lfbm5d_tpu.kernels.mux import mux_place as _mux_place
 from lfbm5d_tpu.kernels.mux import mux_select as _mux_select
 
+# Experiment-only stage ablation (experiments/fused_stage_budget.py): names
+# of kernel stages to STUB OUT when building the kernel, to attribute device
+# time per stage. Numerically wrong when non-empty — never set in production.
+_ABLATE: frozenset = frozenset()
+
 
 def _shrink_dtypes(dt):
     """(matmul accumulation dtype, shrink/weight math dtype) for group dtype."""
@@ -207,6 +212,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         # cast happens right after; the mux then runs at bf16 width).
         def extract_one(band_ref, out_ref, s):
             y, x = slot_pos(s)
+            if "load" in _ABLATE:  # static-origin load (time attribution)
+                y = x = 0
             sup = band_ref[0, pl.ds(y, sk), pl.ds(x, sk), :].astype(dt)
             d = doff_ref[0, s, :]  # [L]; sentinel rows select nothing -> 0
             patch = _mux_select(sup, d, k, nsel, sent)
@@ -218,7 +225,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 extract_one(band_b_ref, scrb_ref, s)
             return 0
 
-        jax.lax.fori_loop(0, sc, ext_body, 0)
+        if "ext" not in _ABLATE:
+            jax.lax.fori_loop(0, sc, ext_body, 0)
 
         # ---- per-group stack matrices from SMEM lvl scalars ----
         def sel(tab_ref, lv):
@@ -240,24 +248,38 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             return r.astype(cdt)
 
         def stack_fwd(spec):
+            if "stack" in _ABLATE:
+                return spec
             if stack_mode == "matmul":
                 return dg(m5f, spec, (((2,), (1,)), ((0,), (0,))))
             return _stack_butterfly_fwd(spec, lvls, stack_mode, acc_dt, cdt)
 
         def stack_inv(spec):
+            if "stack" in _ABLATE:
+                return spec
             if stack_mode == "matmul":
                 return dg(m5i, spec, (((2,), (1,)), ((0,), (0,))))
             return _stack_butterfly_inv(spec, lvls, stack_mode, acc_dt, cdt)
 
         def fwd(g4):
+            if "k2" in _ABLATE:
+                # [GPC, N, P, L] stays put: no k2 matmul, no layout swap
+                spec = g4
+                if "k4" not in _ABLATE:
+                    spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
+                return stack_fwd(spec)
             spec = dg(k2f_ref[...], g4, (((1,), (2,)), ((), ())))
-            spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
+            if "k4" not in _ABLATE:
+                spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
             spec = jnp.transpose(spec, (1, 2, 0, 3))  # [GPC, N, P, L]
             return stack_fwd(spec)
 
         def inv(spec):
             est = stack_inv(spec)
-            est = dg(est, k4i_ref[...], (((3,), (0,)), ((), ())))
+            if "k4" not in _ABLATE:
+                est = dg(est, k4i_ref[...], (((3,), (0,)), ((), ())))
+            if "k2" in _ABLATE:
+                return est  # already [GPC, N, P, L]
             est = dg(k2i_ref[...], est, (((1,), (2,)), ((), ())))
             return jnp.transpose(est, (1, 2, 0, 3))  # [GPC, N, P, L]
 
@@ -271,7 +293,15 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
         g_n = scr_ref[...].reshape(gpc, n_sim, kk, l).astype(cdt)
         sig = sig_ref[p_idx].astype(wdt)
 
-        if wiener:
+        if "shrink" in _ABLATE:
+            # skip the elementwise shrink/weight math only; keep both fwd
+            # chains live (0*spec_b defeats DCE without measurable cost)
+            filt = fwd(g_n)
+            if wiener:
+                g_b = scrb_ref[...].reshape(gpc, n_sim, kk, l).astype(cdt)
+                filt = filt + fwd(g_b) * jnp.asarray(0.0, cdt)
+            wgt = jnp.ones((gpc, 1, 1, l), wdt)
+        elif wiener:
             g_b = scrb_ref[...].reshape(gpc, n_sim, kk, l).astype(cdt)
             spec_n = fwd(g_n).astype(wdt)
             spec_b = fwd(g_b).astype(wdt)
@@ -362,7 +392,8 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
             den_ref[0, pl.ds(y, nsel), pl.ds(x, nsel), :] = cur_d + sup_w
             return 0
 
-        jax.lax.fori_loop(0, sc, agg_body, 0)
+        if "agg" not in _ABLATE:
+            jax.lax.fori_loop(0, sc, agg_body, 0)
 
     return kernel
 

@@ -83,3 +83,89 @@ def synthetic_lf(
         lf[..., c] = chan
     np.clip(lf, 0.0, 255.0, out=lf)  # in-place: the copying clip was ~10 s
     return lf
+
+
+def synthetic_lf_multi(
+    a_h: int = 9,
+    a_w: int = 9,
+    h: int = 64,
+    w: int = 64,
+    channels: int = 3,
+    disps: tuple = (0.5, 1.5, 3.0),
+    seed: int = 0,
+    flat_frac: float = 0.0,
+    texture_grad: float = 0.0,
+    blob_frac: float = 0.4,
+) -> np.ndarray:
+    """Multi-plane occluded light field (the broadened content family).
+
+    `synthetic_lf` is a two-plane scene with one ellipse occluder — every
+    preset constant was originally tuned on it alone (round-3 verdict's
+    robustness concern). This generator adds the content classes real LF
+    datasets contain:
+
+    * **>= 3 disparity layers** — ``disps`` lists per-layer disparity,
+      back to front (layer 0 = full background). Fractional disparities
+      round per SAI, so shift patterns vary across the angular grid.
+    * **Moving occlusions** — each foreground layer is an irregular blob
+      (thresholded smooth noise) that shifts WITH its own disparity, so
+      occlusion boundaries genuinely move across views and the angular
+      stack is inconsistent near them (the hard case for 5D filtering).
+    * **Texture gradients** — ``texture_grad`` in [0, 1] ramps texture
+      contrast from (1 - texture_grad) at the left edge to full at the
+      right, mixing near-flat and strongly-textured content in one frame.
+    * **Mixed static/texture** — ``flat_frac`` keeps the two-plane
+      generator's genuinely-flat strip; a 0.0 entry in ``disps`` makes a
+      static (zero-disparity) layer.
+
+    Returns float64 in [0, 255], shape [aH, aW, H, W, C].
+    """
+    if len(disps) < 1:
+        raise ValueError("disps must name at least the background layer")
+    rng = np.random.default_rng(seed)
+    max_disp = int(np.ceil(max(abs(float(d)) for d in disps) * max(a_h, a_w)))
+    ch, cw = h + 2 * max_disp + 2, w + 2 * max_disp + 2
+    cy, cx = (a_h - 1) / 2.0, (a_w - 1) / 2.0
+    o = max_disp + 1
+
+    def grade(tex: np.ndarray) -> np.ndarray:
+        if texture_grad <= 0.0:
+            return tex
+        g = (1.0 - texture_grad) + texture_grad * np.linspace(0.0, 1.0, cw)
+        m = tex.mean()
+        return m + (tex - m) * g[None, :]
+
+    lf = np.zeros((a_h, a_w, h, w, channels), dtype=np.float64)
+    # blob masks are channel-invariant (a real occluder hides all channels)
+    masks = []
+    for li in range(1, len(disps)):
+        field = _smooth_texture(rng, ch, cw, blur=max(h, w) // 6 + 3)
+        thresh = np.quantile(field, 1.0 - blob_frac)
+        masks.append(field > thresh)
+
+    for c in range(channels):
+        texs = []
+        for li in range(len(disps)):
+            blur = 3 if li == 0 else 2
+            span = 220.0 - 15.0 * li  # layers differ in brightness range
+            tex = _smooth_texture(rng, ch, cw, blur=blur) * span + 20.0
+            if li == 0 and flat_frac > 0.0:
+                cols = int(cw * flat_frac)
+                tex[:, :cols] = tex[:, :cols].mean()
+            texs.append(grade(tex))
+        chan = np.empty((a_h, a_w, h, w), dtype=np.float64)
+        for s in range(a_h):
+            for t in range(a_w):
+                def view(src: np.ndarray, d: float) -> np.ndarray:
+                    dy = int(round(float(d) * (s - cy)))
+                    dx = int(round(float(d) * (t - cx)))
+                    return src[o + dy : o + dy + h, o + dx : o + dx + w]
+
+                img = view(texs[0], disps[0])
+                for li in range(1, len(disps)):
+                    img = np.where(view(masks[li - 1], disps[li]),
+                                   view(texs[li], disps[li]), img)
+                np.copyto(chan[s, t], img)
+        lf[..., c] = chan
+    np.clip(lf, 0.0, 255.0, out=lf)
+    return lf

@@ -106,6 +106,47 @@ class TestNoiseSynthIO:
         b = lf[1, 2, 2:10, 0:8, 0]  # shifted by disp_bg * 1 = 2 in x
         np.testing.assert_allclose(a, b, atol=1e-9)
 
+    def test_synthetic_lf_multi_layers(self):
+        from lfbm5d_tpu.lf.synth import synthetic_lf_multi
+
+        lf = synthetic_lf_multi(3, 3, 48, 64, 3, disps=(1.0, 2.0, 3.0),
+                                seed=0, blob_frac=0.25)
+        assert lf.shape == (3, 3, 48, 64, 3)
+        assert lf.min() >= 0.0 and lf.max() <= 255.0
+        # the three layers shift differently, so no single global shift can
+        # align adjacent SAIs: residual after the BG shift must be nonzero
+        # exactly where foreground blobs live, zero elsewhere
+        a = lf[1, 1, :, 1:-1, 0]
+        b = lf[1, 2, :, 0:-2, 0]  # undo bg disparity 1
+        resid = np.abs(a - b)
+        assert (resid < 1e-9).mean() > 0.1  # background visible somewhere
+        assert (resid > 1e-9).mean() > 0.1  # occluders moved somewhere
+
+    def test_synthetic_lf_multi_static_and_flat(self):
+        from lfbm5d_tpu.lf.synth import synthetic_lf_multi
+
+        # zero-disparity scene is identical across views
+        lf = synthetic_lf_multi(3, 3, 24, 24, 1, disps=(0.0,), seed=1)
+        np.testing.assert_array_equal(lf[0, 0], lf[2, 2])
+        # texture gradient lowers contrast on the left
+        lf_g = synthetic_lf_multi(3, 3, 32, 96, 1, disps=(1.0,), seed=2,
+                                  texture_grad=0.8)
+        left = lf_g[1, 1, :, :24, 0].std()
+        right = lf_g[1, 1, :, -24:, 0].std()
+        assert left < right * 0.6
+        # flat_frac produces a genuinely flat strip in every view
+        lf_f = synthetic_lf_multi(3, 3, 32, 64, 1, disps=(1.0,), seed=3,
+                                  flat_frac=0.5)
+        strip = lf_f[0, 2, :, :8, 0]
+        assert strip.std() < 1e-9
+
+    def test_synthetic_lf_multi_reproducible(self):
+        from lfbm5d_tpu.lf.synth import synthetic_lf_multi
+
+        a = synthetic_lf_multi(2, 2, 16, 16, 2, seed=5)
+        b = synthetic_lf_multi(2, 2, 16, 16, 2, seed=5)
+        np.testing.assert_array_equal(a, b)
+
     @pytest.mark.parametrize("depth", [8, 16])
     def test_fetch_rounded_save_parity(self, tmp_path, depth):
         from lfbm5d_tpu.lf import fetch_rounded
