@@ -135,6 +135,26 @@ def _out_dtype(dt):
     return jnp.float32 if jnp.dtype(dt) == jnp.bfloat16 else jnp.dtype(dt)
 
 
+def _k2_pack(kk: int, n_sim: int) -> int:
+    """Patches packed per spatial matmul (block-diagonal K2 batching).
+
+    A bare [kk, kk] contraction (kk=64 for k=8) uses at most a quarter of
+    the 128x128 MXU tile Mosaic pads it to. Packing `pack` patches
+    block-diagonally into one dense [pack*kk, pack*kk] matrix fills the
+    tile: same useful MACs, `pack`x the nominal throughput, bit-identical
+    results (off-block products are exact zeros).
+
+    MEASURED DEAD END (round 4, experiments/fused_stage_budget.py): at the
+    matched launch shape pack=2 regressed the full kernel 54.1 -> 79.0 ms
+    per launch-pair and cost a 494 s Mosaic compile — the [128, GPC, N/2,
+    128] intermediate's layout path is far worse than the 4x MXU padding
+    it saves; the f32 chain (3-pass bf16x3) is not MXU-throughput-bound at
+    these shapes. Forced to 1; the packed code path is kept (it is the
+    identity at pack=1 and documents the experiment).
+    """
+    return 1
+
+
 def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                  planes: int, refs: int, lambda_3d: float, wiener: bool,
                  use_sd: bool, a_live: int, dt, cdt,
@@ -144,6 +164,9 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
     extract/aggregate muxes stay in dt (full-bf16 muxing measured 1.75x
     SLOWER end-to-end: cast-produced bf16 stays unpacked in vregs)."""
     kk = k * k
+    pack = _k2_pack(kk, n_sim)
+    n2 = n_sim // pack
+    pkk = pack * kk
     sk = k + 2 * nd
     nsel = 2 * nd + 1
     sent = nsel * nsel  # sentinel disparity index for masked slots
@@ -268,11 +291,18 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 if "k4" not in _ABLATE:
                     spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
                 return stack_fwd(spec)
-            spec = dg(k2f_ref[...], g4, (((1,), (2,)), ((), ())))
+            # pack-reshape is a row-major no-op: n = n2*pack + b maps the
+            # packed row b*kk + p straight back by the inverse reshape
+            g4p = g4.reshape(gpc, n2, pkk, l)
+            spec = dg(k2f_ref[...], g4p, (((1,), (2,)), ((), ())))
             if "k4" not in _ABLATE:
                 spec = dg(spec, k4f_ref[...], (((3,), (0,)), ((), ())))
-            spec = jnp.transpose(spec, (1, 2, 0, 3))  # [GPC, N, P, L]
-            return stack_fwd(spec)
+            spec = jnp.transpose(spec, (1, 2, 0, 3))  # [GPC, N2, PKK, L]
+            if "xtr" in _ABLATE:
+                # marginal-cost probe: one extra transpose round trip
+                spec = jnp.transpose(jnp.transpose(spec, (2, 0, 1, 3)),
+                                     (1, 2, 0, 3))
+            return stack_fwd(spec.reshape(gpc, n_sim, kk, l))
 
         def inv(spec):
             est = stack_inv(spec)
@@ -280,8 +310,10 @@ def _make_kernel(k: int, nd: int, sc: int, l: int, n_sim: int, depth: int,
                 est = dg(est, k4i_ref[...], (((3,), (0,)), ((), ())))
             if "k2" in _ABLATE:
                 return est  # already [GPC, N, P, L]
-            est = dg(k2i_ref[...], est, (((1,), (2,)), ((), ())))
-            return jnp.transpose(est, (1, 2, 0, 3))  # [GPC, N, P, L]
+            estp = est.reshape(gpc, n2, pkk, l)
+            est = dg(k2i_ref[...], estp, (((1,), (2,)), ((), ())))
+            est = jnp.transpose(est, (1, 2, 0, 3))  # [GPC, N2, PKK, L]
+            return est.reshape(gpc, n_sim, kk, l)
 
         def smear(x_l):
             """[GPC, 1, 1, L] per-lane partial sums -> lane-uniform totals."""
@@ -457,6 +489,14 @@ def fused_group_step(
     nb2 = n_tiles * planes * refs
     kk = k * k
 
+    # block-diagonal K2 packing (see _k2_pack): widen the spatial matrices
+    # once on the host; the kernel's pack-reshapes are row-major no-ops
+    pack = _k2_pack(kk, n_sim)
+    if pack > 1:
+        eye_p = jnp.eye(pack, dtype=k2f.dtype)
+        k2f = jnp.kron(eye_p, k2f)
+        k2i = jnp.kron(eye_p, k2i)
+
     chunk_skip = nlc is not None
     kernel = _make_kernel(
         k, nd, sc, l, n_sim, depth, planes, refs, lambda_3d, wiener, use_sd,
@@ -486,7 +526,7 @@ def fused_group_step(
         )
 
     in_specs += [
-        const_spec((kk, kk)), const_spec((kk, kk)),
+        const_spec((pack * kk, pack * kk)), const_spec((pack * kk, pack * kk)),
         const_spec((l, l)), const_spec((l, l)),
         const_spec((depth, n_sim, n_sim)), const_spec((depth, n_sim, n_sim)),
         const_spec((k, k, 1)),
