@@ -1,6 +1,7 @@
 """Batched BM alternatives must agree exactly with the scan-based forms."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from lfbm5d_tpu.lf import synthetic_lf
@@ -38,6 +39,7 @@ def test_cross_argmin_all_matches_scan():
         np.testing.assert_array_equal(got[ai], want)
 
 
+@pytest.mark.slow
 def test_streaming_pallas_sequential():
     from lfbm5d_tpu.config import DenoiseParams, StepParams
     from lfbm5d_tpu.pipeline.streaming import denoise_batch

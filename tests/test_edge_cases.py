@@ -26,6 +26,7 @@ def _run(shape, sp_kw, engine):
 
 
 @pytest.mark.parametrize("engine", ["xla", "pallas"])
+@pytest.mark.slow
 def test_single_image_bm3d(engine):
     clean, noisy, f = _run(
         (1, 1, 32, 32, 1), dict(n_sim=8, n_search=4, n_disp=1, k=8, p=3),
@@ -43,5 +44,6 @@ def test_single_image_bm3d(engine):
     ((2, 2, 16, 16, 1), dict(n_sim=4, n_search=3, n_disp=0, k=8, p=4)),
     ((2, 2, 16, 16, 1), dict(n_sim=4, n_search=3, n_disp=1, k=4, p=3)),
 ])
+@pytest.mark.slow
 def test_degenerate_params(engine, shape, sp):
     _run(shape, sp, engine)

@@ -25,6 +25,7 @@ def params(sigma=20.0, **kw):
     )
 
 
+@pytest.mark.slow
 def test_pallas_engine_f64_matches_oracle():
     """The kernel path is oracle-exact, not merely xla-path-equivalent."""
     from lfbm5d_tpu.oracle import oracle_denoise
@@ -38,6 +39,7 @@ def test_pallas_engine_f64_matches_oracle():
     assert np.abs(of - np.asarray(fp)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_engines_agree_gray():
     clean = synthetic_lf(2, 2, 20, 24, channels=1, seed=0)
     noisy = add_noise_np(clean, 20.0, seed=1)
@@ -48,6 +50,7 @@ def test_engines_agree_gray():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_engines_agree_rgb_opp():
     clean = synthetic_lf(2, 2, 18, 20, channels=3, seed=2)
     noisy = add_noise_np(clean, 25.0, seed=3)
@@ -59,6 +62,7 @@ def test_engines_agree_rgb_opp():
     assert clean_psnr > psnr(np.clip(noisy, 0, 255), clean) + 2.0
 
 
+@pytest.mark.slow
 def test_engine_bior_hadamard_variant():
     """Config-3 transform stack through the kernel engine."""
     clean = synthetic_lf(2, 2, 20, 20, channels=1, seed=4)
@@ -75,6 +79,7 @@ def test_engine_bior_hadamard_variant():
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_engines_agree_banked_beyond_128_sais():
     """Angular grids >128 SAIs run lane-BANKED through the kernels (the
     17x17 HCI shape, SURVEY.md §5.7): extract/accumulate per 128-lane bank,
@@ -96,6 +101,7 @@ def test_engines_agree_banked_beyond_128_sais():
     assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_fused_engine_matches_unfused_3x3_f64():
     """The fused single-kernel path vs the two-kernel path, f64-exact.
 
@@ -131,6 +137,7 @@ def test_fused_engine_matches_unfused_3x3_f64():
     assert np.abs(np.asarray(nt) - np.asarray(nf)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_direct_doff_sampler_matches_take_f64():
     """doff via the band-DMA sampler (kernels/gather.py sample_doff) vs the
     jnp.take formulation, exact in f64 on both engine paths.
@@ -161,6 +168,7 @@ def test_direct_doff_sampler_matches_take_f64():
         assert np.abs(np.asarray(dt_) - np.asarray(dd)).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_fused_engine_wiener_3x3_f64():
     """Two-step fused vs XLA on a 3x3 grid in f64 (Wiener + dual groups)."""
     p = params()
@@ -172,6 +180,7 @@ def test_fused_engine_wiener_3x3_f64():
     assert np.abs(np.asarray(fx) - np.asarray(fp)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_bf16_group_path_psnr():
     """pallas_bf16: bands/mux/matmuls in bfloat16, BM + shrink math +
     accumulators in f32. Interpret mode; quality bar: within 0.1 dB of the
@@ -187,6 +196,7 @@ def test_bf16_group_path_psnr():
     assert abs(ps_f32 - ps_bf16) < 0.1, (ps_f32, ps_bf16)
 
 
+@pytest.mark.slow
 def test_launched_execution_matches_single_program():
     """Multi-launch execution (one ref-block per device launch,
     device-resident accumulators) must equal the single-program path —
@@ -206,6 +216,7 @@ def test_launched_execution_matches_single_program():
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_unfused_banked_path_still_exact():
     """The two-kernel banked path (now the fallback for >384-SAI grids)
     stays f64-exact when selected explicitly."""
@@ -232,6 +243,7 @@ def test_unfused_banked_path_still_exact():
     assert np.abs(np.asarray(nx) - np.asarray(nt)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_p_ang_ref_subsampling_oracle_exact():
     """p_ang > 1 (reference-SAI subsampling, the round-3 algorithmic
     reformulation): both engines must match the f64 oracle exactly, and the
@@ -267,6 +279,7 @@ def test_p_ang_ref_subsampling_oracle_exact():
     )
 
 
+@pytest.mark.slow
 def test_banked_fused_runner_matches_xla_f64():
     """_run_bm5d_banked_fused (per-step jits around the banked-FUSED
     kernel, the on-TPU routing for 129..384-SAI grids) must reproduce the
@@ -293,6 +306,7 @@ def test_banked_fused_runner_matches_xla_f64():
     assert np.abs(np.asarray(fx) - np.asarray(fb)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_banked_fused_p_ang_matches_xla_f64():
     """Banked grid × p_ang subsampling — the exact configuration class the
     17×17 `matched` headline row runs (BASELINE.md round-3 preset table:
@@ -323,6 +337,7 @@ def test_banked_fused_p_ang_matches_xla_f64():
     )
 
 
+@pytest.mark.slow
 def test_banked_fused_engine_exact_f64_experimental():
     """EXPERIMENTAL banked-fused kernel (one program across 128-lane banks,
     probed in experiments/fused_banked_probe.py): f64-exact vs the XLA path

@@ -37,6 +37,7 @@ def flat_lf():
     return clean, add_noise_np(clean, 20.0, seed=1)
 
 
+@pytest.mark.slow
 def test_flat_fallback_oracle_exact_both_engines(flat_lf):
     """f64: oracle == XLA engine == fused (interpret) with flat_tau on."""
     from lfbm5d_tpu.oracle import oracle_denoise

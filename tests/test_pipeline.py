@@ -54,6 +54,7 @@ class TestParity:
         p_noisy = psnr(np.clip(noisy, 0, 255), clean)
         assert p_t > p_noisy + 3.0
 
+    @pytest.mark.slow
     def test_config1_ht_only_3x3(self):
         """Driver config 1: 3x3 grayscale, sigma=20, HT only, DCT + Haar."""
         clean = synthetic_lf(3, 3, 24, 24, channels=1, seed=2)

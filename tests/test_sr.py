@@ -1,6 +1,7 @@
 """Super-resolution pipeline tests (driver config 4)."""
 
 import numpy as np
+import pytest
 
 from lfbm5d_tpu.config import SRParams, StepParams
 from lfbm5d_tpu.lf import psnr, synthetic_lf
@@ -28,6 +29,7 @@ def test_sigma_schedule_decreasing():
     assert s[0] == 12.0 and s[-1] == 2.0 and np.all(np.diff(s) < 0)
 
 
+@pytest.mark.slow
 def test_sr_engines_agree():
     import jax.numpy as jnp
 
@@ -138,6 +140,7 @@ def test_sr_beats_bicubic():
     assert p_sr > p_bi, (p_bi, p_sr)
 
 
+@pytest.mark.slow
 def test_sr_x3_and_x4_beat_bicubic():
     """Config 4 names x2/x4; x3 exercises the non-power-of-two path. Each
     scale must beat its plain bicubic init (VERDICT round-1 item 8)."""
@@ -163,6 +166,7 @@ def test_sr_x3_and_x4_beat_bicubic():
         assert p_sr > p_bic + bar, (scale, p_sr, p_bic)
 
 
+@pytest.mark.slow
 def test_sr_decimation_blur_model():
     """When the true degradation includes a Gaussian pre-blur, the MATCHED
     anti-aliased IBP model must beat the plain box model (it measured
@@ -185,6 +189,7 @@ def test_sr_decimation_blur_model():
     assert p_blur > p_box + 0.5, (p_box, p_blur)
 
 
+@pytest.mark.slow
 def test_sr_pipeline_matches_oracle_f64():
     """run_sr in f64 == the float64 SR oracle (bit-near-exact): the SR loop
     is oracle_denoise + the shared resize operators, so parity pins the

@@ -40,6 +40,7 @@ def test_mesh_creation():
         make_mesh(99)
 
 
+@pytest.mark.slow
 def test_batch_matches_single(batch):
     p = params()
     _, f_batch = denoise_batch(batch, p)
@@ -63,6 +64,7 @@ def test_batch_not_divisible_raises(batch):
         denoise_batch(batch[:3], params(), mesh=make_mesh(4))
 
 
+@pytest.mark.slow
 def test_sharded_pallas_engine_matches_unsharded(batch):
     """Config 5 with the KERNEL engine: lax.map streams each device's shard
     through the per-LF Pallas program inside shard_map (VERDICT round-1
