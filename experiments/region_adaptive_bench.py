@@ -1,0 +1,105 @@
+"""On-chip measurement of adaptive-region compositing (round-4 item 2c).
+
+The region mode's value claim — matched-class speed with robust-class
+quality when the static content is a bounded region — shipped in round 3
+with CPU tests only. This bench measures it at flagship scale on the
+content class it targets (a static background plane with a moving
+foreground = static-MINORITY blocks clustered in a box), against the
+whole-LF alternatives:
+
+    matched          fast everywhere, known to lose on static content
+    robust           safe everywhere, ~20x slower
+    adaptive         LF-level routing (picks ONE of the above)
+    adaptive-region  matched everywhere + robust inside the static box
+
+Usage: python experiments/region_adaptive_bench.py [--hw 434 625]
+         [--family static-flat|static-min|two-plane] [--seeds 0]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from lfbm5d_tpu.config import preset_denoise_params  # noqa: E402
+from lfbm5d_tpu.lf.metrics import psnr_device  # noqa: E402
+from lfbm5d_tpu.lf.noise import add_noise_np  # noqa: E402
+from lfbm5d_tpu.lf.synth import synthetic_lf, synthetic_lf_multi  # noqa: E402
+from lfbm5d_tpu.pipeline import run_bm5d  # noqa: E402
+from lfbm5d_tpu.pipeline.adaptive import (  # noqa: E402
+    denoise_region_adaptive,
+    select_preset,
+)
+
+
+def make_lf(family, h, w, seed):
+    if family == "two-plane":
+        return synthetic_lf(9, 9, h, w, 3, disp_bg=1, disp_fg=2, seed=seed)
+    if family == "static-min":
+        return synthetic_lf(9, 9, h, w, 3, disp_bg=0, disp_fg=2, seed=seed)
+    if family == "static-flat":
+        # moving textured bg + one STATIC blob: static blocks cluster in
+        # the blob's bounding box (the region mode's target geometry)
+        return synthetic_lf_multi(9, 9, h, w, 3, disps=(2.0, 0.0),
+                                  seed=seed, blob_frac=0.3)
+    raise SystemExit(f"unknown family {family}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="static-flat")
+    ap.add_argument("--hw", type=int, nargs=2, default=[434, 625])
+    ap.add_argument("--seeds", type=int, nargs="*", default=[0])
+    ap.add_argument("--sigma", type=float, default=25.0)
+    args = ap.parse_args()
+    h, w = args.hw
+    mpix = 81 * h * w / 1e6
+
+    for seed in args.seeds:
+        clean = make_lf(args.family, h, w, seed)
+        noisy = add_noise_np(clean, args.sigma, seed=seed + 100)
+        clean_d = jax.device_put(clean.astype(np.float32))
+        lf = jax.device_put(noisy.astype(np.float32))
+        routed, stats = select_preset(lf, args.sigma)
+        rows = {}
+
+        for preset in ("matched", "robust"):
+            params = preset_denoise_params(preset, args.sigma, chunk=128)
+            _, final = run_bm5d(lf, params)  # compile+warm
+            t0 = time.time()
+            _, final = run_bm5d(lf, params)
+            q = psnr_device(jnp.clip(final, 0, 255), clean_d)
+            rows[preset] = (round(float(q), 3), round(time.time() - t0, 2))
+
+        # region mode (probe + composite inside the timed window; warm once)
+        denoise_region_adaptive(lf, args.sigma)
+        t0 = time.time()
+        _, final, info = denoise_region_adaptive(lf, args.sigma)
+        q = psnr_device(jnp.clip(final, 0, 255), clean_d)
+        rows["adaptive-region"] = (round(float(q), 3),
+                                   round(time.time() - t0, 2))
+
+        print(json.dumps({
+            "family": args.family, "seed": seed,
+            "static_fraction": round(stats["static_fraction"], 3),
+            "lf_routing": routed,
+            "region_mode": info["mode"],
+            "region_box": info.get("box"),
+            "rows_psnr_s": rows,
+            "mpix_s": {k: round(mpix / v[1], 2) for k, v in rows.items()},
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
