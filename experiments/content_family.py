@@ -63,12 +63,12 @@ def make_lf(family: str, h: int, w: int, seed: int) -> np.ndarray:
     raise SystemExit(f"unknown family {family}")
 
 
-def run_preset(noisy_d, clean_d, preset: str, mpix: float):
+def run_preset(noisy_d, clean_d, preset: str, mpix: float, runs: int = 2):
     params = preset_denoise_params(preset, 25.0)
     _, final = run_bm5d(noisy_d, params, engine="auto")
     final.block_until_ready()  # warm-up/compile
     times = []
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.time()
         _, final = run_bm5d(noisy_d, params, engine="auto")
         final.block_until_ready()
@@ -87,6 +87,7 @@ def main():
         "static-flat"])
     ap.add_argument("--presets", nargs="*",
                     default=["default", "matched", "robust"])
+    ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
     h, w = (192, 256) if args.small else (434, 625)
     mpix = 81 * h * w / 1e6
@@ -102,7 +103,7 @@ def main():
                     f"static_frac={stats['static_fraction']:.3f} "
                     f"routed={routed:7s}")
             for preset in args.presets:
-                q, t, rate = run_preset(noisy_d, clean_d, preset, mpix)
+                q, t, rate = run_preset(noisy_d, clean_d, preset, mpix, args.runs)
                 line += f" | {preset}: {q:.3f} dB {t:.2f}s {rate:.1f}Mpix/s"
             print(line, flush=True)
 

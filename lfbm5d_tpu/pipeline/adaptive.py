@@ -1,13 +1,43 @@
-"""Content-adaptive preset selection (round-3 extension of BASELINE.json:5).
+"""Content-adaptive preset selection (round-3 extension of BASELINE.json:5,
+re-tuned round 4 on the broadened content family).
 
 The round-3 knee sweeps established that every aggressive speed knob
-(p_ang >= 2, p = 8, N = 8) is CONTENT-dependent: on disparity-rich light
-fields the `matched` preset sits at-or-above reference-default quality at
-~90x the speed, while on low-disparity content (a static background across
-all SAIs — maximal angular redundancy) the same preset loses up to ~0.4 dB
-and only the `robust` preset stays inside the 0.05 dB budget (BASELINE.md
-content-robustness table). The discriminating content property is "how much
-of the image is angularly static", and that is cheap to probe.
+(p_ang >= 2, p = 8, N = 8) is CONTENT-dependent. Round 3 attributed the
+failures to angularly-STATIC content and routed on static_fraction — but
+that measurement predated the matched preset adopting the flat-region
+fallback (flat_tau=1.3). The round-4 flagship re-measurement across six
+content families (experiments/content_family.py, 9x9x434x625, sigma=25,
+all numbers dB vs each family's own reference-default anchor) found the
+landscape inverted:
+
+  family        static_frac  default   matched   robust
+  two-plane        0.57      28.416    +0.002    +0.136
+  low-disp         0.87      30.800    +0.132    -0.011
+  occl3            0.57      (n/a)     28.053    28.187
+  occl-grad        0.61      29.733    -0.763 X  +0.142
+  static-min       0.87      29.666    +0.433    +0.233
+  static-flat      0.83      30.407    +0.269    +0.168
+
+With flat_tau, `matched` is at-or-ABOVE default on every static and
+low-disparity family (the flat fallback handles angular redundancy
+optimally) — static_fraction routes exactly the content where matched now
+wins to the ~25x slower robust preset. The one genuine matched failure is
+WEAK-TEXTURE content (occl-grad: a texture-contrast gradient — block
+energy too strong for the flat fallback, too weak for reliable BM at
+p=8/N=8/p_ang=4; seeds 1/2 confirm: matched -0.87/-0.88 vs robust). The
+discriminating statistic is therefore
+
+  weak_fraction = (informative blocks with one-block-shift energy
+                   <= 24 vb) / (informative blocks),
+  informative: energy > 8 vb,  vb = block-mean noise variance
+
+measured over 36 cases (6 families x 3 seeds x 2 scales) at 0.688-0.757
+on the weak-texture family vs 0.536-0.635 on all five others — the 0.66
+threshold sits in the gap at both probe geometries. (An alternative band
+over non-flat blocks, energy in (4 vb, 24 vb], separates equally well for
+ROUTING but false-flags ~17% of genuinely flat blocks through noise —
+P(max of 4 chi-square_1 draws > 4) — which scatters the region map; the
+informative band false-flags ~2%.)
 
 Probe (one pass over two SAIs, numpy):
 
@@ -19,24 +49,12 @@ Probe (one pass over two SAIs, numpy):
      4 one-block-shifted neighbors (the content's own energy at the
      one-block displacement scale, which is what a disparity-1 plane looks
      like).
-  3. blocks with g above the noise floor are "informative"; an informative
-     block is STATIC if d stays within the noise floor or a small fraction
-     of g. static_fraction = static / informative.
+  3. blocks with g > 8 vb are "informative"; informative blocks with
+     g <= 24 vb are WEAK. weak_fraction = weak / informative.
+     (static_fraction is still computed and reported — it localizes
+     static planes for diagnostics — but no longer routes.)
 
-Measured landscape on the synthetic-content families (tests pin it):
-all-planes-moving content sits at ~0.53-0.56, content with a static
-MINORITY plane at ~0.65-0.69, content with a static background (the regime
-where aggressive presets measurably fail, BASELINE.md) at >= 0.86.
-
-Decision: static_fraction >= THRESHOLD -> 'robust', else 'matched'. The
-threshold sits at 0.60, BELOW the static-minority class: on-chip PSNR
-measurement (9x9x224x320, seed 4, disp 1/0 — a static foreground covering
-~35% of the frame; BASELINE.md adaptive-preset row) put the matched preset
-at -0.067 dB vs that content's own default anchor (31.437 vs 31.504 dB) —
-OUTSIDE the 0.05 dB budget — while robust measured +0.304 dB at 4x default
-speed. Any content with a significantly static plane therefore routes to
-'robust'; only the all-moving class (where matched measured at-or-above
-default, BASELINE.md flagship table) routes to 'matched'.
+Decision: weak_fraction >= 0.66 -> 'robust', else 'matched'.
 """
 
 from __future__ import annotations
@@ -45,11 +63,15 @@ import numpy as np
 
 from lfbm5d_tpu.config import DenoiseParams, preset_denoise_params
 
-# Decision threshold on the static block fraction (see module docstring for
-# the measured class landscape and the PSNR measurements that place it).
-STATIC_FRACTION_THRESHOLD = 0.60
+# Decision threshold on the weak-texture block fraction (see module
+# docstring for the measured family landscape that places it).
+WEAK_FRACTION_THRESHOLD = 0.66
+# Weak bound: informative blocks at-or-below this multiple of the
+# block-mean noise variance (2 sigma^2 / 64) are too weak for reliable
+# aggressive-preset BM.
+_WEAK_FACTOR = 24.0
 # A block's one-block-shift content energy must exceed this multiple of the
-# block-mean noise variance (2 sigma^2 / 64) to count as informative.
+# block-mean noise variance to count as informative.
 _INFORMATIVE_FACTOR = 8.0
 # An informative block is static when the extreme-pair difference is below
 # max(_STATIC_NOISE_FACTOR * noise, _STATIC_CONTENT_FRACTION * g).
@@ -57,20 +79,22 @@ _STATIC_NOISE_FACTOR = 6.0
 _STATIC_CONTENT_FRACTION = 0.15
 
 
-def probe_maps(lf, sigma: float, block: int = 8) -> tuple[dict, np.ndarray]:
-    """Angular-redundancy probe of a (noisy) light field, with the per-block
-    map.
+def probe_maps(lf, sigma: float, block: int = 8) -> tuple[dict, dict]:
+    """Angular-redundancy / texture-strength probe of a (noisy) light field.
 
     lf: [aH, aW, H, W, C] array-like in [0, 255]; sigma: AWGN std on the
     [0,255] scale (the CLI/bench always know it).
 
-    Returns (stats, static_map):
-      stats = {static_fraction, n_informative, n_blocks, noise_var_block}
-      static_map = [H//block, W//block] bool — True exactly for the
-        informative AND static blocks (the content class where aggressive
-        presets measurably lose quality, BASELINE.md). Featureless blocks
-        are NOT in the map: the flat fallback already handles them
-        optimally under any preset.
+    Returns (stats, maps):
+      stats = {weak_fraction, static_fraction, n_informative, n_blocks,
+               noise_var_block}
+      maps["weak"] = [H//block, W//block] bool — informative blocks whose
+        one-block-shift energy is in the weak band (the content class
+        where aggressive presets measurably lose quality; round-4 table
+        in the module docstring). Flat blocks are NOT in the map: the
+        flat fallback already handles them optimally under any preset.
+      maps["static"] = informative AND angularly-static blocks
+        (diagnostic; localizes static planes).
     """
     lf = np.asarray(lf)
     a_h, a_w = lf.shape[:2]
@@ -79,10 +103,11 @@ def probe_maps(lf, sigma: float, block: int = 8) -> tuple[dict, np.ndarray]:
     p1 = lf[a_h - 1, a_w - 1, :, :, 0].astype(np.float64)
     hb, wb = (p0.shape[0] // b) * b, (p0.shape[1] // b) * b
     vb = 2.0 * sigma * sigma / (b * b)
+    empty = np.zeros((max(hb // b, 0), max(wb // b, 0)), bool)
     if hb == 0 or wb == 0 or (a_h == 1 and a_w == 1):
-        stats = {"static_fraction": 1.0, "n_informative": 0, "n_blocks": 0,
-                 "noise_var_block": vb}
-        return stats, np.zeros((max(hb // b, 0), max(wb // b, 0)), bool)
+        stats = {"weak_fraction": 0.0, "static_fraction": 1.0,
+                 "n_informative": 0, "n_blocks": 0, "noise_var_block": vb}
+        return stats, {"weak": empty, "static": empty}
 
     def block_means(p):
         return p[:hb, :wb].reshape(hb // b, b, wb // b, b).mean(axis=(1, 3))
@@ -95,24 +120,30 @@ def probe_maps(lf, sigma: float, block: int = 8) -> tuple[dict, np.ndarray]:
     g[1:, :] = np.maximum(g[1:, :], (m0[1:, :] - m0[:-1, :]) ** 2)
     g[:, :-1] = np.maximum(g[:, :-1], (m0[:, :-1] - m0[:, 1:]) ** 2)
     g[:, 1:] = np.maximum(g[:, 1:], (m0[:, 1:] - m0[:, :-1]) ** 2)
+
     informative = g > _INFORMATIVE_FACTOR * vb
+    weak_map = informative & (g <= _WEAK_FACTOR * vb)
     n_inf = int(informative.sum())
     if n_inf < 8:
-        # featureless content: angularly redundant by definition
-        stats = {"static_fraction": 1.0, "n_informative": n_inf,
-                 "n_blocks": int(d.size), "noise_var_block": vb}
-        return stats, np.zeros_like(informative)
+        # featureless content: angularly redundant by definition (the flat
+        # fallback covers it; matched is safe regardless of weak blocks)
+        stats = {"weak_fraction": 0.0, "static_fraction": 1.0,
+                 "n_informative": n_inf, "n_blocks": int(d.size),
+                 "noise_var_block": vb}
+        return stats, {"weak": np.zeros_like(informative),
+                       "static": np.zeros_like(informative)}
     static_map = informative & (
         d < np.maximum(_STATIC_NOISE_FACTOR * vb,
                        _STATIC_CONTENT_FRACTION * g)
     )
     stats = {
+        "weak_fraction": float(weak_map.sum() / n_inf),
         "static_fraction": float(static_map.sum() / n_inf),
         "n_informative": n_inf,
         "n_blocks": int(d.size),
         "noise_var_block": vb,
     }
-    return stats, static_map
+    return stats, {"weak": weak_map, "static": static_map}
 
 
 def content_stats(lf, sigma: float, block: int = 8) -> dict:
@@ -125,7 +156,7 @@ def select_preset(lf, sigma: float) -> tuple[str, dict]:
     stats = content_stats(lf, sigma)
     name = (
         "robust"
-        if stats["static_fraction"] >= STATIC_FRACTION_THRESHOLD
+        if stats["weak_fraction"] >= WEAK_FRACTION_THRESHOLD
         else "matched"
     )
     return name, stats
@@ -138,25 +169,28 @@ def adaptive_denoise_params(lf, sigma: float, **kw) -> tuple[DenoiseParams, str,
 
 
 # ---------------------------------------------------------------------------
-# Region-adaptive denoising (round-3 agenda: tile-level preset mixing).
+# Region-adaptive denoising (round-3 agenda: tile-level preset mixing;
+# re-targeted round 4 to the measured failure class).
 #
-# The LF-level router above is all-or-nothing: one static plane anywhere
-# routes the WHOLE light field to the ~20x slower robust preset. But the
-# probe already localizes the failure: aggressive presets lose quality only
-# ON the angularly-static blocks. Region mode therefore:
+# The LF-level router above is all-or-nothing: a weak-texture region
+# anywhere routes the WHOLE light field to the ~25x slower robust preset.
+# But the probe already localizes the failure: aggressive presets lose
+# quality only ON the weak-texture blocks (round-4 family table in the
+# module docstring — static planes are covered by the flat fallback and
+# are matched-safe). Region mode therefore:
 #
 #   1. denoises the full LF at `matched` speed,
-#   2. re-denoises ONLY a bounding crop of the static blocks (expanded by a
+#   2. re-denoises ONLY a bounding crop of the weak blocks (expanded by a
 #      margin that covers the denoiser's boundary-effect width) at `robust`
 #      quality,
 #   3. composites the robust interior over the matched output with a linear
-#      feather across the margin (both outputs are valid denoisings within
-#      ~0.4 dB of each other; the feather only prevents a visible seam).
+#      feather across the margin (both outputs are valid denoisings; the
+#      feather only prevents a visible seam).
 #
 # Crop dimensions round up to a multiple of `round_to` so repeated calls on
 # same-shaped LFs reuse a small set of compiled programs. When the crop
 # would cover most of the frame the crop saves nothing and the LF-level
-# robust routing is used unchanged.
+# routing is used unchanged.
 # ---------------------------------------------------------------------------
 
 # Boundary-effect width of the two-step pipeline: a pixel's output draws on
@@ -168,17 +202,18 @@ REGION_MARGIN = 48
 REGION_ROUND_TO = 32
 # Crop area fraction above which region mode degenerates to LF-level robust.
 REGION_FULL_ROBUST_FRAC = 0.7
-# Fewer static blocks than this is measurement noise, not a static plane.
-REGION_MIN_STATIC_BLOCKS = 12
+# Fewer flagged blocks than this is measurement noise, not a weak region.
+REGION_MIN_WEAK_BLOCKS = 12
 
 
-def static_region_box(static_map: np.ndarray, h: int, w: int, block: int = 8,
+def static_region_box(flag_map: np.ndarray, h: int, w: int, block: int = 8,
                       margin: int = REGION_MARGIN,
                       round_to: int = REGION_ROUND_TO) -> tuple | None:
-    """Pixel bounding box (y0, y1, x0, x1) of the static blocks, expanded by
-    `margin` and rounded up to `round_to` multiples within the frame.
-    None if the map has no static blocks."""
-    ys, xs = np.nonzero(static_map)
+    """Pixel bounding box (y0, y1, x0, x1) of the flagged blocks (weak-map
+    in production; any bool block map works), expanded by `margin` and
+    rounded up to `round_to` multiples within the frame.
+    None if the map has no flagged blocks."""
+    ys, xs = np.nonzero(flag_map)
     if ys.size == 0:
         return None
     y0 = max(int(ys.min()) * block - margin, 0)
@@ -227,11 +262,12 @@ def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
                             margin: int = REGION_MARGIN,
                             round_to: int = REGION_ROUND_TO,
                             full_robust_frac: float = REGION_FULL_ROBUST_FRAC,
-                            min_static_blocks: int = REGION_MIN_STATIC_BLOCKS,
+                            min_weak_blocks: int = REGION_MIN_WEAK_BLOCKS,
                             params_matched: DenoiseParams | None = None,
                             params_robust: DenoiseParams | None = None):
-    """Probe-localized preset mixing: matched speed where content moves,
-    robust quality on the static region, feather-composited.
+    """Probe-localized preset mixing: matched speed where texture is
+    BM-reliable (or flat), robust quality on the weak-texture region,
+    feather-composited.
 
     noisy: [aH, aW, H, W, C] in [0, 255] (numpy or device array).
     Returns (basic, final, info); info records the route taken
@@ -256,17 +292,18 @@ def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
         probe_src = np.asarray(
             jnp.stack([noisy[0, 0], noisy[-1, -1]])
         )[:, None]
-    stats, smap = probe_maps(probe_src, sigma, block)
+    stats, maps = probe_maps(probe_src, sigma, block)
     p_m = params_matched or preset_denoise_params("matched", sigma)
     p_r = params_robust or preset_denoise_params("robust", sigma)
 
-    box = (static_region_box(smap, h, w, block, margin, round_to)
-           if int(smap.sum()) >= min_static_blocks else None)
+    wmap = maps["weak"]
+    box = (static_region_box(wmap, h, w, block, margin, round_to)
+           if int(wmap.sum()) >= min_weak_blocks else None)
     if box is None:
-        if stats["static_fraction"] >= STATIC_FRACTION_THRESHOLD:
-            # static content the box logic could not localize (e.g. static
-            # blocks everywhere but below min count after the informative
-            # filter) -> LF-level robust, same as select_preset
+        if stats["weak_fraction"] >= WEAK_FRACTION_THRESHOLD:
+            # weak content the box logic could not localize (e.g. weak
+            # blocks everywhere but below the min count) -> LF-level
+            # robust, same as select_preset
             basic, final = run_bm5d(noisy, p_r, dtype, engine)
             return basic, final, {"mode": "robust", "stats": stats}
         basic, final = run_bm5d(noisy, p_m, dtype, engine)
@@ -276,12 +313,12 @@ def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
     area_frac = (y1 - y0) * (x1 - x0) / float(h * w)
     if area_frac >= full_robust_frac:
         # The crop saves nothing -> degenerate to the LF-level router's
-        # decision. All-moving content has scattered static blocks whose
-        # bounding box can cover most of the frame (static_fraction
-        # ~0.53-0.56, below the threshold): that class belongs on
+        # decision. Strong-texture content still has scattered weak blocks
+        # whose bounding box can cover most of the frame (weak_fraction
+        # ~0.54-0.64, below the threshold): that class belongs on
         # `matched`, exactly as `select_preset` routes it — only content
-        # the LF-level router would call static gets full-frame robust.
-        if stats["static_fraction"] >= STATIC_FRACTION_THRESHOLD:
+        # the LF-level router would call weak gets full-frame robust.
+        if stats["weak_fraction"] >= WEAK_FRACTION_THRESHOLD:
             basic, final = run_bm5d(noisy, p_r, dtype, engine)
             mode = "robust"
         else:

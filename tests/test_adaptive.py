@@ -1,10 +1,13 @@
 """Content-adaptive preset selection (pipeline/adaptive.py).
 
-The BASELINE.md content-robustness tables measured that aggressive presets
-fail the 0.05 dB budget exactly on angularly-redundant content (a static
-background plane), and are at-or-above default quality on disparity-rich
-content. These tests pin the probe's classification of both regimes, on
-noisy input, across seeds — the probe only ever sees what the CLI sees.
+Round-4 flagship measurements (experiments/content_family.py; table in the
+adaptive module docstring) found that with the flat fallback the matched
+preset is at-or-above reference-default quality on every static and
+low-disparity family, and fails the budget only on WEAK-TEXTURE content
+(block energy too strong for the flat fallback, too weak for reliable BM
+at p=8/N=8/p_ang=4). These tests pin the probe's classification of the
+regimes, on noisy input, across seeds — the probe only ever sees what the
+CLI sees.
 """
 
 import numpy as np
@@ -14,8 +17,9 @@ from lfbm5d_tpu.config import PRESETS, DenoiseParams, StepParams, \
     preset_denoise_params
 from lfbm5d_tpu.lf import synthetic_lf
 from lfbm5d_tpu.lf.noise import add_noise_np
+from lfbm5d_tpu.lf.synth import synthetic_lf_multi
 from lfbm5d_tpu.pipeline.adaptive import (
-    STATIC_FRACTION_THRESHOLD,
+    WEAK_FRACTION_THRESHOLD,
     _feather,
     content_stats,
     denoise_region_adaptive,
@@ -31,6 +35,16 @@ def _noisy(seed, bg, fg, sigma=25.0, a=9, h=224, w=320):
     return add_noise_np(clean, sigma, seed=seed + 1)
 
 
+def _noisy_grad(seed, sigma=25.0, a=9, h=224, w=320):
+    """The weak-texture family: 3 occluding layers + a 0.7 contrast ramp
+    (the one content class where matched measured outside the budget:
+    -0.76 to -0.88 dB vs default across seeds, round-4 flagship table)."""
+    clean = synthetic_lf_multi(a, a, h, w, channels=3,
+                               disps=(0.5, 1.5, 3.0), seed=seed,
+                               blob_frac=0.3, texture_grad=0.7)
+    return add_noise_np(clean, sigma, seed=seed + 1)
+
+
 @pytest.mark.parametrize("seed,bg,fg", [(0, 1, 2), (7, 2, 3), (9, 3, 4),
                                         (17, 1, 3), (3, 1, 1)])
 def test_disparity_rich_content_selects_matched(seed, bg, fg):
@@ -40,39 +54,54 @@ def test_disparity_rich_content_selects_matched(seed, bg, fg):
 
 @pytest.mark.parametrize("seed,bg,fg", [(11, 0, 1), (21, 0, 1), (13, 0, 2),
                                         (2, 0, 3), (5, 0, 0)])
-def test_static_background_content_selects_robust(seed, bg, fg):
-    """The regime where BASELINE.md measured aggressive presets losing up
-    to ~0.4 dB: a zero-disparity background across all SAIs."""
+def test_static_background_content_selects_matched(seed, bg, fg):
+    """Round-4 inversion: a zero-disparity background (maximal angular
+    redundancy) is the flat fallback's best case — matched measured
+    +0.13/+0.43/+0.27 dB ABOVE default on the low-disp/static-min/
+    static-flat flagship families. Routing it to the ~25x slower robust
+    preset (the round-3 rule) costs both time and quality."""
     name, stats = select_preset(_noisy(seed, bg, fg), 25.0)
-    assert name == "robust", stats
+    assert name == "matched", stats
 
 
 @pytest.mark.parametrize("seed,bg,fg", [(4, 1, 0), (6, 2, 0)])
-def test_static_minority_plane_selects_robust(seed, bg, fg):
-    """A static FOREGROUND (disp x/0, ~35% of the frame): measured
-    matched-preset delta is -0.067 dB — OUTSIDE the 0.05 dB budget
-    (BASELINE.md adaptive-preset row) — so this class routes to robust."""
+def test_static_minority_plane_selects_matched(seed, bg, fg):
+    """A static FOREGROUND plane: same inversion as the static background
+    (static-min flagship family: matched +0.433 dB over default)."""
     name, stats = select_preset(_noisy(seed, bg, fg), 25.0)
+    assert name == "matched", stats
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5])
+def test_weak_texture_content_selects_robust(seed):
+    name, stats = select_preset(_noisy_grad(seed), 25.0)
     assert name == "robust", stats
 
 
 def test_probe_class_separation():
-    """The three content classes must stay separated with margin — the
-    decision threshold sits strictly between the all-moving and the
-    partially-static clusters (the latter measured outside the budget
-    under the matched preset)."""
-    moving = content_stats(_noisy(0, 1, 2), 25.0)["static_fraction"]
-    partial = content_stats(_noisy(4, 1, 0), 25.0)["static_fraction"]
-    static = content_stats(_noisy(11, 0, 1), 25.0)["static_fraction"]
-    assert moving < STATIC_FRACTION_THRESHOLD < partial < static
+    """The weak-texture class must stay separated from every strong-texture
+    class with margin — the decision threshold sits strictly between
+    them. (Measured landscape: strong classes <= 0.692 at test geometry /
+    <= 0.709 at flagship; weak class >= 0.779 / >= 0.844.)"""
+    strong = max(
+        content_stats(_noisy(0, 1, 2), 25.0)["weak_fraction"],
+        content_stats(_noisy(11, 0, 1), 25.0)["weak_fraction"],
+        content_stats(_noisy(4, 1, 0), 25.0)["weak_fraction"],
+    )
+    weak = content_stats(_noisy_grad(0), 25.0)["weak_fraction"]
+    assert strong < WEAK_FRACTION_THRESHOLD < weak, (strong, weak)
 
 
 def test_probe_degenerate_inputs():
     flat = np.full((3, 3, 32, 32, 1), 128.0)
     st = content_stats(add_noise_np(flat, 25.0, seed=0), 25.0)
-    assert st["static_fraction"] == 1.0  # featureless -> redundant
+    # featureless -> flat fallback territory -> matched-safe
+    assert st["weak_fraction"] == 0.0
+    assert st["static_fraction"] == 1.0
+    assert select_preset(add_noise_np(flat, 25.0, seed=0), 25.0)[0] == \
+        "matched"
     one = np.zeros((1, 1, 16, 16, 1))
-    assert content_stats(one, 25.0)["static_fraction"] == 1.0
+    assert content_stats(one, 25.0)["weak_fraction"] == 0.0
 
 
 def test_preset_params_builders():
@@ -86,7 +115,8 @@ def test_preset_params_builders():
 # ---------------------------------------------------------------------------
 # Region-adaptive machinery (ADVICE r3: seam-sensitive indexing code needs
 # direct CPU tests — box rounding/clamping, feather edge logic, composite
-# indexing, and the large-box fallback route).
+# indexing, and the large-box fallback route). Round 4: the region keys on
+# the WEAK map (the measured failure class), not the static map.
 # ---------------------------------------------------------------------------
 
 
@@ -102,46 +132,60 @@ def _paste_static_patch(clean, box, seed=100):
     return clean
 
 
-def _flat_bg_static_patch_lf(box, a=3, h=96, w=160, sigma=25.0):
-    """Featureless background + one pasted static textured patch: the probe's
-    informative blocks exist ONLY at the patch, so the static map localizes
-    it regardless of grid size (moving content needs the 9x9 baseline
-    geometry for class separation, see the landscape in the module doc)."""
+def _paste_weak_patch(clean, box, seed=100, spread=16.0):
+    """Paste a LOW-CONTRAST texture (block-mean steps within the probe's
+    weak band: nonflat but <= 24 vb at sigma=25) identically into every
+    SAI: the weak map flags exactly those blocks."""
+    y0, y1, x0, x1 = box
+    rng = np.random.default_rng(seed)
+    cells = 128.0 + rng.uniform(-spread, spread,
+                                ((y1 - y0) // 8 + 1, (x1 - x0) // 8 + 1))
+    clean[:, :, y0:y1, x0:x1, 0] = np.kron(
+        cells, np.ones((8, 8)))[: y1 - y0, : x1 - x0]
+    return clean
+
+
+def _flat_bg_patch_lf(box, a=3, h=96, w=160, sigma=25.0, weak=False):
+    """Featureless background + one pasted patch: the probe's flagged
+    blocks exist ONLY at the patch, so the maps localize it regardless of
+    grid size (moving content needs the 9x9 baseline geometry for class
+    separation, see the landscape in the module doc)."""
     clean = np.full((a, a, h, w, 1), 128.0)
-    return add_noise_np(_paste_static_patch(clean, box), sigma, seed=1)
+    paste = _paste_weak_patch if weak else _paste_static_patch
+    return add_noise_np(paste(clean, box), sigma, seed=1)
 
 
 def test_probe_maps_marks_pasted_static_patch():
-    """Probe map direction 1: blocks strictly inside an angularly-static
-    textured patch must be in the map (informative AND static), on moving
-    9x9 content — the geometry the thresholds were measured on."""
+    """Static-map direction: blocks strictly inside an angularly-static
+    textured patch must be in maps['static'] (informative AND static), on
+    moving 9x9 content — the geometry the thresholds were measured on."""
     box = (40, 72, 64, 112)
     clean = synthetic_lf(9, 9, 128, 192, channels=1, disp_bg=1, disp_fg=2,
                          seed=0)
     noisy = add_noise_np(_paste_static_patch(clean, box), 25.0, seed=1)
-    _, smap = probe_maps(noisy, 25.0)
+    _, maps = probe_maps(noisy, 25.0)
     # patch-interior blocks (excluding the contrast boundary ring)
-    interior = smap[box[0] // 8 + 1: box[1] // 8 - 1,
-                    box[2] // 8 + 1: box[3] // 8 - 1]
+    interior = maps["static"][box[0] // 8 + 1: box[1] // 8 - 1,
+                              box[2] // 8 + 1: box[3] // 8 - 1]
     assert interior.all(), interior
 
 
-def test_probe_maps_localizes_on_flat_background():
-    """Probe map direction 2: with a featureless background the map
-    concentrates on the pasted patch and its one-block contrast ring — a
-    few noise-induced informative blocks elsewhere are expected (the
-    informative test is a ~2.8-sigma cut on block-mean diffs), so the
-    assertion is concentration, not exclusivity."""
+def test_probe_maps_localizes_weak_patch_on_flat_background():
+    """Weak-map direction: with a featureless background the weak map
+    concentrates on the pasted weak-texture patch — a few noise-induced
+    nonflat blocks elsewhere are expected (the nonflat test is a ~2.8-sigma
+    cut on block-mean diffs), so the assertion is concentration, not
+    exclusivity."""
     box = (32, 56, 64, 96)
-    stats, smap = probe_maps(_flat_bg_static_patch_lf(box), 25.0)
-    assert stats["static_fraction"] > 0.9
-    ring = np.zeros_like(smap)
+    stats, maps = probe_maps(_flat_bg_patch_lf(box, weak=True), 25.0)
+    wmap = maps["weak"]
+    ring = np.zeros_like(wmap)
     ring[box[0] // 8 - 1: box[1] // 8 + 1,
          box[2] // 8 - 1: box[3] // 8 + 1] = True
-    in_ring = int((smap & ring).sum())
-    outside = int((smap & ~ring).sum())
-    assert in_ring >= 12
-    assert outside <= 0.25 * in_ring, (in_ring, outside)
+    in_ring = int((wmap & ring).sum())
+    outside = int((wmap & ~ring).sum())
+    assert in_ring >= 8, (in_ring, outside)
+    assert outside <= 0.5 * in_ring, (in_ring, outside)
 
 
 def test_static_region_box_invariants():
@@ -150,7 +194,7 @@ def test_static_region_box_invariants():
     smap[5:9, 8:14] = True  # pixel box y [40,72), x [64,112)
     box = static_region_box(smap, h, w, margin=48, round_to=32)
     y0, y1, x0, x1 = box
-    # containment: margin-expanded static pixels inside, clamped to frame
+    # containment: margin-expanded flagged pixels inside, clamped to frame
     assert 0 <= y0 <= max(40 - 48, 0) and min(72 + 48, h) <= y1 <= h
     assert 0 <= x0 <= max(64 - 48, 0) and min(112 + 48, w) <= x1 <= w
     # rounding: spans are multiples of 32 unless clamped by the frame
@@ -194,15 +238,15 @@ def _tiny_params(n_search):
 def test_region_composite_end_to_end():
     """Composite equals the matched pass exactly outside the box and the
     robust crop pass in the feather-complete interior (probe-driven route,
-    no mocking: flat background localizes the static patch)."""
+    no mocking: flat background localizes the weak-texture patch)."""
     from lfbm5d_tpu.pipeline import run_bm5d
 
-    noisy = _flat_bg_static_patch_lf((32, 56, 64, 96), h=96, w=160)
+    noisy = _flat_bg_patch_lf((32, 56, 64, 96), h=96, w=160, weak=True)
     p_m, p_r = _tiny_params(4), _tiny_params(6)
     margin = 16
     basic, final, info = denoise_region_adaptive(
         noisy, 25.0, engine="xla", margin=margin, round_to=16,
-        min_static_blocks=4, params_matched=p_m, params_robust=p_r)
+        min_weak_blocks=4, params_matched=p_m, params_robust=p_r)
     assert info["mode"] == "region", info
     y0, y1, x0, x1 = info["box"]
     final = np.asarray(final)
@@ -224,26 +268,29 @@ def test_region_composite_end_to_end():
     np.testing.assert_allclose(ii, ri, atol=1e-4)
 
 
-def test_large_box_scattered_static_falls_back_to_router(monkeypatch):
-    """ADVICE r3 fix: a frame-spanning static-block bounding box on content
-    the LF-level router calls MOVING (static_fraction < threshold — the
-    measured all-moving landscape is ~0.53-0.56 with scattered static
-    blocks) must run matched, not the ~20x full-frame robust. The probe is
-    stubbed to that exact landscape so the route is deterministic at CPU
-    test scale (class separation needs the 9x9 x 224x320 geometry the
-    thresholds were measured on)."""
+def test_large_box_scattered_weak_falls_back_to_router(monkeypatch):
+    """ADVICE r3 fix, re-keyed to the weak map: a frame-spanning weak-block
+    bounding box on content the LF-level router calls STRONG
+    (weak_fraction < threshold — strong content has scattered weak blocks)
+    must run matched, not the ~25x full-frame robust. The probe is stubbed
+    to that exact landscape so the route is deterministic at CPU test
+    scale (class separation needs the 9x9 geometry the thresholds were
+    measured on)."""
     import lfbm5d_tpu.pipeline.adaptive as adaptive_mod
 
     noisy = add_noise_np(
         synthetic_lf(3, 3, 64, 96, channels=1, disp_bg=1, disp_fg=2, seed=0),
         25.0, seed=1)
-    smap = np.zeros((8, 12), bool)
-    smap[:2, :3] = True
-    smap[-2:, -3:] = True  # opposite corners -> frame-spanning box
-    stats = {"static_fraction": 0.55, "n_informative": 40,
-             "n_blocks": 96, "noise_var_block": 19.5}
-    monkeypatch.setattr(adaptive_mod, "probe_maps",
-                        lambda lf, sigma, block=8: (dict(stats), smap))
+    wmap = np.zeros((8, 12), bool)
+    wmap[:2, :3] = True
+    wmap[-2:, -3:] = True  # opposite corners -> frame-spanning box
+    stats = {"weak_fraction": 0.58, "static_fraction": 0.55,
+             "n_informative": 40, "n_blocks": 96, "noise_var_block": 19.5}
+    monkeypatch.setattr(
+        adaptive_mod, "probe_maps",
+        lambda lf, sigma, block=8: (dict(stats),
+                                    {"weak": wmap,
+                                     "static": np.zeros_like(wmap)}))
     p_m, p_r = _tiny_params(4), _tiny_params(6)
     basic, final, info = denoise_region_adaptive(
         noisy, 25.0, engine="xla", params_matched=p_m, params_robust=p_r)
@@ -255,21 +302,24 @@ def test_large_box_scattered_static_falls_back_to_router(monkeypatch):
     np.testing.assert_array_equal(np.asarray(final), fm)
 
 
-def test_large_box_static_majority_runs_robust(monkeypatch):
+def test_large_box_weak_majority_runs_robust(monkeypatch):
     """Companion to the fallback fix: the same frame-spanning box on content
-    the router calls STATIC keeps the full-frame robust route."""
+    the router calls WEAK keeps the full-frame robust route."""
     import lfbm5d_tpu.pipeline.adaptive as adaptive_mod
 
     noisy = add_noise_np(
         synthetic_lf(3, 3, 64, 96, channels=1, disp_bg=0, disp_fg=1, seed=0),
         25.0, seed=1)
-    smap = np.zeros((8, 12), bool)
-    smap[:4, :] = True
-    smap[-2:, -3:] = True
-    stats = {"static_fraction": 0.9, "n_informative": 40,
-             "n_blocks": 96, "noise_var_block": 19.5}
-    monkeypatch.setattr(adaptive_mod, "probe_maps",
-                        lambda lf, sigma, block=8: (dict(stats), smap))
+    wmap = np.zeros((8, 12), bool)
+    wmap[:4, :] = True
+    wmap[-2:, -3:] = True
+    stats = {"weak_fraction": 0.75, "static_fraction": 0.55,
+             "n_informative": 40, "n_blocks": 96, "noise_var_block": 19.5}
+    monkeypatch.setattr(
+        adaptive_mod, "probe_maps",
+        lambda lf, sigma, block=8: (dict(stats),
+                                    {"weak": wmap,
+                                     "static": np.zeros_like(wmap)}))
     p_m, p_r = _tiny_params(4), _tiny_params(6)
     basic, final, info = denoise_region_adaptive(
         noisy, 25.0, engine="xla", params_matched=p_m, params_robust=p_r)
