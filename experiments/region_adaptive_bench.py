@@ -48,11 +48,16 @@ def make_lf(family, h, w, seed):
         return synthetic_lf(9, 9, h, w, 3, disp_bg=1, disp_fg=2, seed=seed)
     if family == "static-min":
         return synthetic_lf(9, 9, h, w, 3, disp_bg=0, disp_fg=2, seed=seed)
+    if family == "occl-grad":
+        # the measured matched-failure class: weak blocks cluster in the
+        # mid-contrast band of the ramp (left is flat, right is strong) —
+        # the region mode's target geometry after the round-4 re-tune
+        return synthetic_lf_multi(9, 9, h, w, 3, disps=(0.5, 1.5, 3.0),
+                                  seed=seed, blob_frac=0.3,
+                                  texture_grad=0.7)
     if family == "static-flat":
-        # moving textured bg + one STATIC blob: static blocks cluster in
-        # the blob's bounding box (the region mode's target geometry)
-        return synthetic_lf_multi(9, 9, h, w, 3, disps=(2.0, 0.0),
-                                  seed=seed, blob_frac=0.3)
+        return synthetic_lf_multi(9, 9, h, w, 3, disps=(0.0, 2.0),
+                                  seed=seed, blob_frac=0.25, flat_frac=0.4)
     raise SystemExit(f"unknown family {family}")
 
 

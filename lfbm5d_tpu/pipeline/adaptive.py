@@ -288,10 +288,14 @@ def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
         # the probe reads the two extreme-corner SAIs; fetch only those from
         # device LFs (a full-LF fetch costs seconds through the host tunnel)
         # as a 2x1 angular grid — probe_maps reads [0, 0] and [aH-1, aW-1],
-        # which the stack maps to exactly the same pair.
-        probe_src = np.asarray(
-            jnp.stack([noisy[0, 0], noisy[-1, -1]])
-        )[:, None]
+        # which the stack maps to exactly the same pair. The fetch crosses
+        # quantized (uint8: 4x fewer tunnel bytes; sub-LSB rounding is
+        # invisible to 8x8 block-mean statistics at sigma >= 5).
+        from lfbm5d_tpu.lf.io import fetch_rounded
+
+        probe_src = np.asarray(fetch_rounded(
+            jnp.stack([noisy[0, 0], noisy[-1, -1]]), 8
+        ), np.float64)[:, None]
     stats, maps = probe_maps(probe_src, sigma, block)
     p_m = params_matched or preset_denoise_params("matched", sigma)
     p_r = params_robust or preset_denoise_params("robust", sigma)
