@@ -79,24 +79,27 @@ def main():
         routed, stats = select_preset(lf, args.sigma)
         rows = {}
 
+        def sync(x):
+            return float(psnr_device(jnp.clip(x, 0, 255), clean_d))
+
         for preset in ("matched", "robust"):
             params = preset_denoise_params(preset, args.sigma, chunk=128)
-            _, final = run_bm5d(lf, params)  # compile+warm
+            sync(run_bm5d(lf, params)[1])  # compile+warm, SYNCED
             t0 = time.time()
             _, final = run_bm5d(lf, params)
-            q = psnr_device(jnp.clip(final, 0, 255), clean_d)
-            rows[preset] = (round(float(q), 3), round(time.time() - t0, 2))
+            q = sync(final)
+            rows[preset] = (round(q, 3), round(time.time() - t0, 2))
 
         # region mode (probe + composite inside the timed window; warm once)
-        denoise_region_adaptive(lf, args.sigma)
+        sync(denoise_region_adaptive(lf, args.sigma)[1])
         t0 = time.time()
         _, final, info = denoise_region_adaptive(lf, args.sigma)
-        q = psnr_device(jnp.clip(final, 0, 255), clean_d)
-        rows["adaptive-region"] = (round(float(q), 3),
-                                   round(time.time() - t0, 2))
+        q = sync(final)
+        rows["adaptive-region"] = (round(q, 3), round(time.time() - t0, 2))
 
         print(json.dumps({
             "family": args.family, "seed": seed,
+            "weak_fraction": round(stats["weak_fraction"], 3),
             "static_fraction": round(stats["static_fraction"], 3),
             "lf_routing": routed,
             "region_mode": info["mode"],
