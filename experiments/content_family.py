@@ -42,6 +42,7 @@ from lfbm5d_tpu.lf.noise import add_noise_np  # noqa: E402
 from lfbm5d_tpu.lf.synth import synthetic_lf, synthetic_lf_multi  # noqa: E402
 from lfbm5d_tpu.pipeline import run_bm5d  # noqa: E402
 from lfbm5d_tpu.pipeline.adaptive import select_preset  # noqa: E402
+from lfbm5d_tpu.utils.timing import device_fence  # noqa: E402
 
 
 def make_lf(family: str, h: int, w: int, seed: int) -> np.ndarray:
@@ -66,12 +67,13 @@ def make_lf(family: str, h: int, w: int, seed: int) -> np.ndarray:
 def run_preset(noisy_d, clean_d, preset: str, mpix: float, runs: int = 2):
     params = preset_denoise_params(preset, 25.0)
     _, final = run_bm5d(noisy_d, params, engine="auto")
-    final.block_until_ready()  # warm-up/compile
+    device_fence(final)  # warm-up/compile (block_until_ready is NOT a
+    # fence under the axon platform: utils/timing.device_fence docstring)
     times = []
     for _ in range(runs):
         t0 = time.time()
         _, final = run_bm5d(noisy_d, params, engine="auto")
-        final.block_until_ready()
+        device_fence(final)
         times.append(time.time() - t0)
     q = float(psnr_device(jax.numpy.clip(final, 0, 255), clean_d))
     return q, min(times), mpix / min(times)

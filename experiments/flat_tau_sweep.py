@@ -26,6 +26,7 @@ from lfbm5d_tpu.utils.cache import enable_persistent_compilation_cache  # noqa: 
 
 enable_persistent_compilation_cache()
 from lfbm5d_tpu.lf.metrics import psnr_device  # noqa: E402
+from lfbm5d_tpu.utils.timing import device_fence  # noqa: E402
 from lfbm5d_tpu.lf.noise import add_noise_np  # noqa: E402
 from lfbm5d_tpu.lf.synth import synthetic_lf  # noqa: E402
 from lfbm5d_tpu.pipeline import run_bm5d  # noqa: E402
@@ -48,13 +49,13 @@ for flat_frac in (0.0, 0.5):
         )
         t0 = time.time()
         basic, final = run_bm5d(noisy_d, params, engine="auto")
-        final.block_until_ready()
+        device_fence(final)
         compile_s = time.time() - t0
         times = []
         for _ in range(3):
             t0 = time.time()
             basic, final = run_bm5d(noisy_d, params, engine="auto")
-            final.block_until_ready()
+            device_fence(final)
             times.append(time.time() - t0)
         q = psnr_device(jax.numpy.clip(final, 0, 255), clean_d)
         best = min(times)
