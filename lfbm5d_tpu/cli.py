@@ -156,7 +156,7 @@ def cmd_denoise(ns) -> int:
     import jax
 
     from lfbm5d_tpu.pipeline import run_bm5d
-    from lfbm5d_tpu.utils.timing import StageTimer
+    from lfbm5d_tpu.utils.timing import StageTimer, device_fence
 
     timer = StageTimer()
     try:
@@ -207,14 +207,14 @@ def cmd_denoise(ns) -> int:
                 lf, sigma, engine=ns.engine,
                 params_matched=build_params("matched"),
                 params_robust=build_params("robust"))
-            jax.block_until_ready(final)
+            device_fence(final)
         probe_stats = region_info["stats"]
         ns.preset = f"region:{region_info['mode']}"
     else:
         params = build_params(ns.preset)
         with timer.stage("denoise"):
             basic, final = run_bm5d(lf, params, engine=ns.engine)
-            jax.block_until_ready(final)
+            device_fence(final)
 
     with timer.stage("save"):
         # fetch_rounded quantizes on-device so the device->host transfer is
@@ -276,7 +276,7 @@ def cmd_sr(ns) -> int:
     import jax
 
     from lfbm5d_tpu.pipeline.sr import run_sr
-    from lfbm5d_tpu.utils.timing import StageTimer
+    from lfbm5d_tpu.utils.timing import StageTimer, device_fence
 
     if ns.preset in ("adaptive", "adaptive-region"):
         print(f"error: --preset {ns.preset} is denoise-only (the probe's "
@@ -308,7 +308,7 @@ def cmd_sr(ns) -> int:
 
     with timer.stage("sr"):
         hr = run_sr(lf, params, on_iteration=checkpoint, engine=ns.engine)
-        jax.block_until_ready(hr)
+        device_fence(hr)
     hr = fetch_rounded(hr, ns.bit_depth)
     with timer.stage("save"):
         save_lf(hr, ns.output, ns.pattern, ns.s_offset, ns.t_offset,
