@@ -31,19 +31,29 @@ sys.path.insert(0, __import__("os").path.dirname(
 
 
 def parse_preset(name: str) -> dict:
+    """Grammar: default|fast|N{..}n{..}p{..}[d{..}][A{..}] plus optional
+    trailing quality-knob tokens (any order): F{tau} flat fallback,
+    L{lam} HT lambda (DenoiseParams.lambda_3d), B bior1.5 tau_2d,
+    S use_sd aggregation weights."""
+    extras: dict = {}
+    while True:
+        m = re.search(r"(?:F(\d+(?:\.\d+)?)|L(\d+(?:\.\d+)?)|B|S)$", name)
+        if not m:
+            break
+        tok = m.group(0)
+        if tok.startswith("F"):
+            extras["flat_tau"] = float(m.group(1))
+        elif tok.startswith("L"):
+            extras["_lambda_3d"] = float(m.group(2))
+        elif tok == "B":
+            extras["tau_2d"] = "bior"
+        elif tok == "S":
+            extras["use_sd"] = True
+        name = name[: m.start()]
     if name == "default":
-        return dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3)
+        return dict(n_sim=16, n_search=16, n_disp=2, k=8, p=3, **extras)
     if name == "fast":
-        return dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6)
-    base = None
-    if "F" in name:
-        name, tau = name.split("F", 1)
-        base = parse_preset(name) if name in ("default", "fast") else None
-        if base is not None:
-            base["flat_tau"] = float(tau)
-            return base
-    else:
-        tau = None
+        return dict(n_sim=8, n_search=8, n_disp=2, k=8, p=6, **extras)
     m = re.fullmatch(r"N(\d+)n(\d+)p(\d+)(?:d(\d+))?(?:A(\d+))?", name)
     if not m:
         raise ValueError(f"bad preset {name!r}")
@@ -51,8 +61,7 @@ def parse_preset(name: str) -> dict:
              n_disp=int(m[4]) if m[4] else 2)
     if m[5]:
         d["p_ang"] = int(m[5])
-    if tau is not None:
-        d["flat_tau"] = float(tau)
+    d.update(extras)
     return d
 
 
@@ -62,6 +71,9 @@ def main():
                     metavar=("A", "H", "W"))
     ap.add_argument("--presets", nargs="+", required=True)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="reference-patch chunk (rounds 1-3 swept at 128; "
+                    "256 = the preset/bench default)")
     ap.add_argument("--engine", default="auto")
     ap.add_argument("--sigma", type=float, default=25.0)
     ap.add_argument("--seed", type=int, default=0,
@@ -105,12 +117,15 @@ def main():
             step_wn = parse_preset(wn_name)
         else:
             step_ht = step_wn = parse_preset(name)
+        lam = step_ht.pop("_lambda_3d", 2.7)
+        step_wn.pop("_lambda_3d", None)
         step = {"ht": step_ht, "wiener": step_wn}
         params = DenoiseParams(
             sigma=args.sigma,
+            lambda_3d=lam,
             ht=StepParams(tau_match=2500.0, **step_ht),
             wiener=StepParams(tau_match=400.0, **step_wn),
-            chunk=128,
+            chunk=args.chunk,
         )
         t0 = time.time()
         try:

@@ -83,7 +83,9 @@ def main():
             return float(psnr_device(jnp.clip(x, 0, 255), clean_d))
 
         for preset in ("matched", "robust"):
-            params = preset_denoise_params(preset, args.sigma, chunk=128)
+            # default chunk: keep rows comparable with content_family.py
+            # and with denoise_region_adaptive's internal presets
+            params = preset_denoise_params(preset, args.sigma)
             sync(run_bm5d(lf, params)[1])  # compile+warm, SYNCED
             t0 = time.time()
             _, final = run_bm5d(lf, params)
