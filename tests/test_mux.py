@@ -42,7 +42,7 @@ def _ref_place(patch, d, k, sk, nsel, sent):
     return out
 
 
-@pytest.mark.parametrize("k,nsel", [(8, 3), (8, 5), (4, 3), (16, 2)])
+@pytest.mark.parametrize("k,nsel", [(8, 3), (8, 5), (4, 3), (16, 2), (8, 1)])
 def test_mux_select_matches_bruteforce(k, nsel):
     rng = np.random.default_rng(0)
     sent = nsel * nsel
@@ -56,7 +56,7 @@ def test_mux_select_matches_bruteforce(k, nsel):
     np.testing.assert_array_equal(got, _ref_select(sup, d, k, nsel, sent))
 
 
-@pytest.mark.parametrize("k,nsel", [(8, 3), (8, 5), (4, 3)])
+@pytest.mark.parametrize("k,nsel", [(8, 3), (8, 5), (4, 3), (8, 1)])
 def test_mux_place_matches_bruteforce(k, nsel):
     rng = np.random.default_rng(1)
     sent = nsel * nsel
