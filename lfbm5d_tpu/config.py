@@ -65,6 +65,18 @@ class StepParams:
         concentrates to a few percent); useful margins sit around
         1.1-1.2. The fused engine also SKIPS the dead chunks (compaction
         + prefetched live counts), making redundant regions nearly free.
+      bm_source: which LF block matching runs on (LFBM5D-TPU extension;
+        'auto' = reference semantics). For the HT step BM always runs on
+        the noisy LF; for the Wiener step 'auto' runs BM on the basic
+        estimate (SURVEY.md §2.10 step 2) while 'noisy' runs it on the
+        noisy LF — the cross-step BM-reuse semantics (with BM geometry and
+        tau_match equal across steps the Wiener tables become identical to
+        the HT step's). MEASURED DEAD END for the matched preset: BM on
+        noisy costs −0.31 dB at the flagship anchor regardless of
+        re-thresholding (experiments/bm_reuse_probe.py, BASELINE.md
+        round-5) — the Wiener step's BM-on-basic earns its ~20% of device
+        time. The flag stays as the measured record and for research use;
+        no preset sets it.
     """
 
     n_sim: int = 16
@@ -79,6 +91,7 @@ class StepParams:
     tau_match: float = 2500.0
     use_sd: bool = False
     flat_tau: float = 0.0
+    bm_source: str = "auto"
 
     def __post_init__(self):
         if self.n_sim < 1 or (self.n_sim & (self.n_sim - 1)) != 0:
@@ -92,6 +105,10 @@ class StepParams:
         if self.tau_5d not in ("haar", "hadamard", "dct"):
             raise ValueError(
                 f"tau_5d must be 'haar', 'hadamard' or 'dct', got {self.tau_5d!r}"
+            )
+        if self.bm_source not in ("auto", "noisy"):
+            raise ValueError(
+                f"bm_source must be 'auto' or 'noisy', got {self.bm_source!r}"
             )
 
     @property

@@ -333,7 +333,10 @@ def oracle_wiener_step(noisy_lf: np.ndarray, basic_lf: np.ndarray,
     b = np.asarray(basic_lf, dtype=np.float64)
     noisy_p = pad_lf(x, sp.pad)
     basic_p = pad_lf(b, sp.pad)
-    num, den = _oracle_step(noisy_p, basic_p, sigma_c, sp, 0.0, basic_p)
+    # bm_source='noisy' (config.StepParams): BM on the noisy LF instead of
+    # the basic estimate — the cross-step BM-reuse semantics
+    match_p = noisy_p if sp.bm_source == "noisy" else basic_p
+    num, den = _oracle_step(noisy_p, match_p, sigma_c, sp, 0.0, basic_p)
     fb = (
         _oracle_fallback_2d(x, sigma_c, sp, 0.0, pilot=b)
         if sp.flat_tau > 0 else None

@@ -299,7 +299,8 @@ def wiener_step(x, basic, sigma: float, sp: StepParams,
     xp = _flat_pad(x, sp.pad)
     bp = _flat_pad(basic, sp.pad)
     sigma_c = _sigma_channels(sigma, color_space, c, dtype)
-    num, den = fn(xp, bp, sigma_c, bp)
+    mp = xp if sp.bm_source == "noisy" else bp
+    num, den = fn(xp, mp, sigma_c, bp)
     fb = _flat_fallback(x, sigma_c, sp, 0.0, jnp.dtype(dtype), pilot=basic)
     return _finalize(num, den, sp.pad, a_h, a_w, h, w, c, fb)
 
@@ -349,7 +350,8 @@ def build_denoise_fn(
         basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c, fb)
         xp2 = _flat_pad(x, params.wiener.pad)
         bp = _flat_pad(basic, params.wiener.pad)
-        num, den = wn_raw(xp2, bp, sigma_c, bp)
+        mp = xp2 if params.wiener.bm_source == "noisy" else bp
+        num, den = wn_raw(xp2, mp, sigma_c, bp)
         fb = _flat_fallback(x, sigma_c, params.wiener, 0.0, dt, pilot=basic)
         final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c, fb)
         if use_color:
@@ -461,8 +463,9 @@ def _run_bm5d_launched(lf, params: DenoiseParams, dtype, group_dtype,
     basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c, fb)
     xp2 = _flat_pad(x, params.wiener.pad)
     bp = _flat_pad(basic, params.wiener.pad)
+    mp = xp2 if params.wiener.bm_source == "noisy" else bp
     num, den = _run_step_launched(
-        params.wiener, 0.0, True, xp2, bp, sigma_c, bp,
+        params.wiener, 0.0, True, xp2, mp, sigma_c, bp,
         a_h, a_w, h, w, c, dtype, group_dtype,
     )
     fb = _flat_fallback(x, sigma_c, params.wiener, 0.0, dt, pilot=basic)
@@ -521,7 +524,8 @@ def _run_bm5d_banked_fused(lf, params: DenoiseParams, dtype, sigma_c=None):
     basic = _finalize(num, den, params.ht.pad, a_h, a_w, h, w, c, fb)
     xp2 = _flat_pad(x, params.wiener.pad)
     bp = _flat_pad(basic, params.wiener.pad)
-    num, den = wn(xp2, bp, sigma_c, bp)
+    mp = xp2 if params.wiener.bm_source == "noisy" else bp
+    num, den = wn(xp2, mp, sigma_c, bp)
     fb = _flat_fallback(x, sigma_c, params.wiener, 0.0, dt, pilot=basic)
     final = _finalize(num, den, params.wiener.pad, a_h, a_w, h, w, c, fb)
     if use_color:

@@ -364,3 +364,34 @@ def test_banked_fused_engine_exact_f64_experimental():
     nx, dx = fx(xp, xp, sig, None)
     nb_, db_ = f_bk(xp, xp, sig, None)
     assert np.abs(np.asarray(nx) - np.asarray(nb_)).max() < 1e-9
+
+
+@pytest.mark.slow
+def test_bm_source_noisy_oracle_exact():
+    """Wiener bm_source='noisy' (the cross-step BM-reuse semantics,
+    config.StepParams.bm_source): BM for the Wiener step runs on the NOISY
+    LF with the HT threshold instead of on the basic estimate. Both engines
+    must match the f64 oracle exactly — this pins the semantics the engine's
+    table-reuse fast path must reproduce bit-for-bit."""
+    from lfbm5d_tpu.oracle import oracle_denoise
+
+    clean = synthetic_lf(2, 2, 20, 24, channels=1, seed=0)
+    noisy = add_noise_np(clean, 20.0, seed=1)
+    p = DenoiseParams(
+        sigma=20.0,
+        ht=StepParams(tau_match=2500.0, **TINY),
+        wiener=StepParams(tau_match=2500.0, bm_source="noisy", **TINY),
+        chunk=32,
+    )
+    ob, of = oracle_denoise(noisy, p)
+    bx, fx = run_bm5d(noisy, p, dtype="float64", engine="xla")
+    bp, fp = run_bm5d(noisy, p, dtype="float64", engine="pallas")
+    assert np.abs(ob - np.asarray(bx)).max() < 1e-9
+    assert np.abs(of - np.asarray(fx)).max() < 1e-9
+    assert np.abs(ob - np.asarray(bp)).max() < 1e-9
+    assert np.abs(of - np.asarray(fp)).max() < 1e-9
+    # the mode is a real change: it must differ from reference semantics
+    _, of_ref = oracle_denoise(
+        noisy, p.replace(wiener=StepParams(tau_match=2500.0, **TINY))
+    )
+    assert np.abs(of - of_ref).max() > 1e-6
