@@ -66,6 +66,14 @@ def main():
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "pallas_bf16", "xla"])
     ap.add_argument("--sigma", type=float, default=25.0)
+    ap.add_argument("--family", default="two-plane",
+                    choices=["two-plane", "low-disp", "occl3", "occl-grad",
+                             "static-min", "static-flat"],
+                    help="bench LF content family (lf/synth.py; default = "
+                    "the historical two-plane bench LF). 'occl-grad' is the "
+                    "weak-texture class the adaptive router sends to robust "
+                    "— '--preset adaptive --family occl-grad' is the "
+                    "official ROUTED-content row (VERDICT r4 item 4)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="dump a jax.profiler trace of the measured runs "
                     "to DIR (SURVEY.md §5.1)")
@@ -103,8 +111,30 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
-    clean = synthetic_lf(a_h, a_w, h, w, channels=3, disp_bg=1, disp_fg=2,
-                         seed=0)
+    if args.family == "two-plane":
+        clean = synthetic_lf(a_h, a_w, h, w, channels=3, disp_bg=1,
+                             disp_fg=2, seed=0)
+    else:
+        # same family definitions as experiments/content_family.py (the
+        # round-4 validation matrix) at the bench shape, seed 0
+        from lfbm5d_tpu.lf.synth import synthetic_lf_multi
+
+        fam = {
+            "low-disp": lambda: synthetic_lf(
+                a_h, a_w, h, w, 3, disp_bg=0, disp_fg=1, seed=0),
+            "occl3": lambda: synthetic_lf_multi(
+                a_h, a_w, h, w, 3, disps=(0.5, 1.5, 3.0), seed=0,
+                blob_frac=0.3),
+            "occl-grad": lambda: synthetic_lf_multi(
+                a_h, a_w, h, w, 3, disps=(0.5, 1.5, 3.0), seed=0,
+                blob_frac=0.3, texture_grad=0.7),
+            "static-min": lambda: synthetic_lf(
+                a_h, a_w, h, w, 3, disp_bg=0, disp_fg=2, seed=0),
+            "static-flat": lambda: synthetic_lf_multi(
+                a_h, a_w, h, w, 3, disps=(0.0, 2.0), seed=0,
+                blob_frac=0.25, flat_frac=0.4),
+        }
+        clean = fam[args.family]()
     noisy = add_noise_np(clean, args.sigma, seed=1)
     print(f"synth LF {clean.shape} in {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -196,19 +226,25 @@ def main():
     # against its own recorded round-1 driver value (BENCH_r01.json:
     # 0.495 Mpix/s, fast preset) so the ratio tracks progress on the
     # identical config instead of mixing configs (VERDICT weak #8).
-    if args.full:
+    if args.full and args.family == "two-plane":
         vs_b = round(value / 50.0, 4)
         vs_ref = "50 Mpix/s north-star target"
+    elif args.full:
+        vs_b, vs_ref = None, (
+            "no recorded baseline for this content family (routed-content "
+            "row; see BASELINE.md content matrix)"
+        )
     elif args.proxy and args.preset == "fast":
         vs_b = round(value / 0.495, 4)
         vs_ref = "round-1 recorded proxy value 0.495 Mpix/s (BENCH_r01.json)"
     else:
         vs_b, vs_ref = None, "no recorded baseline for this configuration"
+    fam_tag = "" if args.family == "two-plane" else f" family={args.family},"
     result = {
         "metric": (
             f"Mpix/s denoised, two-step HT+Wiener, "
-            f"{a_h}x{a_w}x{h}x{w} RGB synthetic LF, sigma={args.sigma:g}, "
-            f"preset={args.preset} ({tag})"
+            f"{a_h}x{a_w}x{h}x{w} RGB synthetic LF,{fam_tag} "
+            f"sigma={args.sigma:g}, preset={args.preset} ({tag})"
         ),
         "value": round(value, 3),
         "unit": "Mpix/s",
@@ -223,6 +259,7 @@ def main():
         "psnr_basic_db": round(p_basic, 2),
         "psnr_final_db": round(p_final, 2),
         "preset": args.preset,
+        "family": args.family,
         "shape": [a_h, a_w, h, w, 3],
         "quick": bool(args.quick),
     }

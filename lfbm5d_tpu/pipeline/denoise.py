@@ -394,6 +394,34 @@ def _step_slots(sp: StepParams, a_h, a_w, h, w) -> int:
     return len(ys) * len(xs) * n_refs * sp.n_sim
 
 
+def execution_tier(params: DenoiseParams, a_h, a_w, h, w, engine) -> str:
+    """'single' | 'banked_fused' | 'launched' — the slot/scale routing
+    run_bm5d applies (and pipeline.streaming mirrors per LF for heavy
+    batches). Tiering only applies to the compiled kernel engine: on other
+    backends single programs neither fault nor hit the duration bound.
+    LFBM5D_ROUTE_ON_CPU=1 applies it to the interpret engine too, so CPU
+    mesh tests can exercise the exact tiered execution paths real 17x17
+    streaming uses (tests/test_streaming.py)."""
+    eng = _resolve_engine(engine, a_h * a_w)
+    on_dev = eng.startswith("pallas") and (
+        jax.default_backend() == "tpu"
+        or __import__("os").environ.get("LFBM5D_ROUTE_ON_CPU") == "1"
+    )
+    if not on_dev:
+        return "single"
+    a = a_h * a_w
+    banked = a > 128
+    max_slots = max(
+        _step_slots(params.ht, a_h, a_w, h, w),
+        _step_slots(params.wiener, a_h, a_w, h, w),
+    )
+    if banked and a <= 384 and max_slots <= 2_000_000:
+        return "banked_fused"
+    if max_slots > (_BANKED_SLOT_LIMIT if banked else _LAUNCH_SLOT_LIMIT):
+        return "launched"
+    return "single"
+
+
 @lru_cache(maxsize=None)
 def _launched_step_jit(sp, lambda_3d, a_h, a_w, h, w, c, wiener, dtype,
                        group_dtype):
@@ -555,26 +583,15 @@ def run_bm5d(noisy_lf, params: DenoiseParams, dtype: str = "float32",
         lf = jnp.asarray(np.asarray(noisy_lf), jnp.dtype(dtype))
     a_h, a_w, h, w, c = lf.shape
     eng = _resolve_engine(engine, a_h * a_w)
-    max_slots = max(
-        _step_slots(params.ht, a_h, a_w, h, w),
-        _step_slots(params.wiener, a_h, a_w, h, w),
-    )
-    on_tpu_pallas = (
-        eng.startswith("pallas") and jax.default_backend() == "tpu"
-    )
-    banked = 128 < a_h * a_w
-    if on_tpu_pallas and banked and a_h * a_w <= 384 and (
-        max_slots <= 2_000_000
-    ):
+    tier = execution_tier(params, a_h, a_w, h, w, engine)
+    if tier == "banked_fused":
         # small banked grids: per-step jit programs through the banked-FUSED
         # kernel (proven on-chip by tpu_smoke case 4 at 12x12x48x64). At
         # 17x17x128x128 RGB (7.8M slots, 3 banks) this form STILL faults the
         # worker (round-3 measurement, docs/DESIGN_NOTES.md), so bigger
         # banked configs take the round-2-proven two-kernel path below.
         return _run_bm5d_banked_fused(lf, params, dtype, sigma_c)
-    if on_tpu_pallas and max_slots > (
-        _BANKED_SLOT_LIMIT if banked else _LAUNCH_SLOT_LIMIT
-    ):
+    if tier == "launched":
         return _run_bm5d_launched(
             lf, params, dtype,
             "bfloat16" if eng == "pallas_bf16" else None, sigma_c,

@@ -185,8 +185,16 @@ def build_kernel_step(
     # (wiener holds 2x band slabs + its basic-group chain temporaries: the
     # 12M/banks budget measured 119M of the 110M VMEM limit at 17x17
     # wiener — 9M over; 9M/banks keeps it under)
+    # Round-5: the matched-flagship profile attributed ~25% of device time
+    # to per-(tile, ref) FIXED costs (band slab slices + chunk padding +
+    # the scan glue), not slot work — bigger single-bank tiles divide all
+    # of them, and 9 MB band slabs still leave the wiener working set
+    # (2 band slabs + outs + scratch, double-buffered) well under the
+    # 110 MB VMEM limit. Measured numbers in BASELINE.md round-5 section;
+    # LFBM5D_BAND_BUDGET overrides for probes.
     band_budget = (
-        (9_000_000 if wiener else 12_000_000) if banks > 1 else 4_500_000
+        (9_000_000 if wiener else 12_000_000) if banks > 1
+        else int(os.environ.get("LFBM5D_BAND_BUDGET", 9_000_000))
     ) // (banks if fused else 1)  # bytes
 
     def band_bytes(r, cc):
@@ -194,6 +202,10 @@ def build_kernel_step(
         bww = _round_up((cc - 1) * sp.p + halo + 7, 8)  # +7: origin alignment
         return bhh * bww * kl * 4  # per-bank band slab
 
+    # the budget loops below only SHRINK from the initial tile dims; the
+    # env knobs raise the starting point for tile-size probes
+    rows_per_tile = int(os.environ.get("LFBM5D_TILE_ROWS", rows_per_tile))
+    cols_per_tile = int(os.environ.get("LFBM5D_TILE_COLS", cols_per_tile))
     while cols_per_tile > 1 and band_bytes(rows_per_tile, cols_per_tile) > band_budget:
         cols_per_tile -= 1
     while rows_per_tile > 1 and band_bytes(rows_per_tile, cols_per_tile) > band_budget:
@@ -234,7 +246,15 @@ def build_kernel_step(
     # at 17x17x128x128 gave 0.78 s fixed + 0.055 s/ref), so bigger blocks
     # amortize it; the fused path's SMEM is governed by tiles_per_call
     # below, not the two-kernel accumulate-prefetch clamp.
-    r_cap = 16 if (fused and banks > 1) else 8
+    # Single-bank fused r_cap raised 8 -> 16 in round 5: the cost model then
+    # packs e.g. 9 reference SAIs into ONE block (r_batch=9) instead of two
+    # 5-ref blocks with a fully-masked dummy ref that still paid full kernel
+    # mux/matmul work (~10% of the matched flagship's group stage).
+    # LFBM5D_R_CAP overrides every case (probe knob; the 17x17 launched
+    # probes sweep it — bigger ref blocks amortize the per-block band
+    # re-slicing that dominates launched banked execution).
+    _r_cap_env = os.environ.get("LFBM5D_R_CAP")
+    r_cap = int(_r_cap_env) if _r_cap_env else (16 if fused else 8)
     r_batch, _best = 1, None
     for _rc in range(1, min(r_cap, n_refs) + 1):
         _cost = _cdiv(n_refs, _rc) * (_rc + 2.0)  # R BM units + dispatch wt 2

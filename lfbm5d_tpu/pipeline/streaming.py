@@ -18,7 +18,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from lfbm5d_tpu.config import DenoiseParams
-from lfbm5d_tpu.pipeline.denoise import _sigma_channels, build_denoise_fn
+from lfbm5d_tpu.pipeline.denoise import (
+    _sigma_channels,
+    build_denoise_fn,
+    execution_tier,
+    run_bm5d,
+)
 
 
 @lru_cache(maxsize=None)
@@ -119,7 +124,6 @@ def denoise_batch(
     else:
         lfs = jnp.asarray(np.asarray(lfs), jnp.dtype(dtype))
     b, a_h, a_w, h, w, c = lfs.shape
-    fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine)
     sigma_c = _sigma_channels(params.sigma, params.color_space, c, dtype)
 
     kernel_engine = engine.startswith("pallas") or (
@@ -130,6 +134,41 @@ def denoise_batch(
 
     def _pack(pair):
         return (pair, report) if return_report else pair
+
+    # HEAVY execution tiers (banked-fused per-step programs / launched
+    # multi-dispatch execution): these cannot run as the single jitted
+    # program build_denoise_fn composes — at 17x17 scale that program
+    # faults the device (BASELINE.md round-3) — so they route PER LF
+    # through run_bm5d, which applies the proven slot tiering. With a
+    # mesh, LFs round-robin over its devices: committed inputs pin each
+    # LF's whole launch sequence to its device, async dispatch overlaps
+    # the devices, and there is still zero cross-chip traffic inside an
+    # LF (SURVEY.md §5.8). Outputs are restacked on the default device.
+    tier = execution_tier(params, a_h, a_w, h, w, engine)
+    if kernel_engine and tier != "single":
+        devices = list(mesh.devices.flat) if mesh is not None else [None]
+        outs = []
+        for i in range(b):
+            dev = devices[i % len(devices)]
+            lf_i = jax.device_put(lfs[i], dev) if dev is not None else lfs[i]
+            out, attempts, err = _run_with_retry(
+                lambda x: run_bm5d(x, params, dtype=dtype, engine=engine,
+                                   sigma_c=sigma_c),
+                (lf_i,), retries, on_fail,
+                lambda i=i: (lfs[i], lfs[i]),
+            )
+            if err is not None:
+                report.append(
+                    {"index": i, "attempts": attempts, "error": repr(err)}
+                )
+            outs.append(out)
+        d0 = jax.devices()[0]
+        return _pack((
+            jnp.stack([jax.device_put(o[0], d0) for o in outs]),
+            jnp.stack([jax.device_put(o[1], d0) for o in outs]),
+        ))
+
+    fn = build_denoise_fn(params, a_h, a_w, h, w, c, dtype, engine)
 
     if mesh is None:
         if kernel_engine:
