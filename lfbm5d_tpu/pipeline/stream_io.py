@@ -27,7 +27,12 @@ import jax.numpy as jnp
 
 from lfbm5d_tpu.config import DenoiseParams
 from lfbm5d_tpu.lf.io import fetch_rounded, load_lf, save_lf
-from lfbm5d_tpu.pipeline.denoise import _sigma_channels, build_denoise_fn
+from lfbm5d_tpu.pipeline.denoise import (
+    _sigma_channels,
+    build_denoise_fn,
+    execution_tier,
+    run_bm5d,
+)
 from lfbm5d_tpu.pipeline.streaming import _jit_per_lf
 
 
@@ -44,6 +49,11 @@ class StreamReport:
 
 
 def _default_run(fn, lf_dev, sigma_c):
+    if getattr(fn, "eager", False):
+        # heavy-tier per-LF runner (run_bm5d slot tiering): already
+        # composed of its own jitted programs — must NOT be re-jitted
+        basic, final = fn(lf_dev, sigma_c)
+        return final
     jfn = _jit_per_lf(fn)
     basic, final = jfn(lf_dev, sigma_c)
     return final
@@ -118,9 +128,21 @@ def stream_denoise_dirs(
             if key not in fn_cache:
                 h, w = lf.shape[2], lf.shape[3]
                 c = lf.shape[4]
-                fn_cache[key] = build_denoise_fn(
-                    params, a_h, a_w, h, w, c, dtype, engine
-                )
+                if execution_tier(params, a_h, a_w, h, w, engine) != "single":
+                    # HEAVY tiers (banked-fused / launched — real 17x17
+                    # streaming): run_bm5d applies the slot routing; a
+                    # single build_denoise_fn program at these scales
+                    # faults the device (BASELINE.md round-3)
+                    def heavy(lf_dev, sigma_c, _p=params):
+                        return run_bm5d(lf_dev, _p, dtype=dtype,
+                                        engine=engine, sigma_c=sigma_c)
+
+                    heavy.eager = True
+                    fn_cache[key] = heavy
+                else:
+                    fn_cache[key] = build_denoise_fn(
+                        params, a_h, a_w, h, w, c, dtype, engine
+                    )
                 sigma_c = _sigma_channels(
                     params.sigma, params.color_space, c, dtype
                 )

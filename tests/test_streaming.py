@@ -291,3 +291,36 @@ def test_sharded_launched_tier_matches_unsharded(batch, monkeypatch):
     monkeypatch.setattr(D, "_LAUNCH_SLOT_LIMIT", 6_000_000)
     _, f_single = denoise_batch(batch, p, engine="pallas", dtype="float64")
     assert np.abs(np.asarray(f_s) - np.asarray(f_single)).max() < 1e-9
+
+
+@pytest.mark.slow
+def test_stream_denoise_dirs_heavy_tier(batch, tmp_path, monkeypatch):
+    """Disk->disk streaming must route heavy-tier shapes through run_bm5d's
+    slot tiering (a single build_denoise_fn program faults the device at
+    17x17 scale) and still match the single-program output exactly."""
+    import lfbm5d_tpu.pipeline.denoise as D
+    from lfbm5d_tpu.lf.io import load_lf, save_lf
+    from lfbm5d_tpu.pipeline.stream_io import stream_denoise_dirs
+
+    monkeypatch.setenv("LFBM5D_ROUTE_ON_CPU", "1")
+    p = params()
+    jobs = []
+    for i in range(2):
+        d_in = tmp_path / f"hin_{i}"
+        save_lf(np.clip(batch[i], 0, 255), str(d_in), "SAI_%02d_%02d.png")
+        jobs.append((str(d_in), str(tmp_path / f"hout_{i}")))
+
+    # single-program reference on the SAVED (quantized) inputs
+    quant = np.stack(
+        [load_lf(j[0], "SAI_%02d_%02d.png", 2, 2) for j in jobs]
+    )
+    _, f_ref = denoise_batch(quant, p, engine="pallas")
+
+    monkeypatch.setattr(D, "_LAUNCH_SLOT_LIMIT", 1)  # force launched tier
+    assert D.execution_tier(p, 2, 2, 16, 16, "pallas") == "launched"
+    report = stream_denoise_dirs(jobs, p, 2, 2, engine="pallas")
+    assert report.n_done == 2 and report.n_failed == 0
+    for i, j in enumerate(jobs):
+        got = load_lf(j[1], "SAI_%02d_%02d.png", 2, 2)
+        want = np.clip(np.round(np.asarray(f_ref)[i]), 0, 255)
+        np.testing.assert_allclose(got, want, atol=1.0)
