@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--preset", default=None,
                     choices=["default", "fast", "matched", "robust",
-                             "adaptive"],
+                             "adaptive", "adaptive-region"],
                     help="'default' = reference-default parameters; 'fast' = "
                     "throughput preset (N=8, p=6, smaller search windows); "
                     "'matched' = fastest preset measured at-or-above "
@@ -105,7 +105,7 @@ def main():
         # headline default = matched preset; the proxy's continuity config
         # is the fast preset it was recorded with in rounds 1/2
         args.preset = "fast" if (args.proxy or args.quick) else "matched"
-    adaptive = args.preset == "adaptive"
+    adaptive = args.preset in ("adaptive", "adaptive-region")
     if not adaptive:
         params = preset_denoise_params(args.preset, args.sigma, chunk=128)
 
@@ -160,12 +160,25 @@ def main():
         # reads the host copy of the noisy LF (a 3 MB/s-download tunnel
         # makes device->host the wrong direction; real drivers also hold
         # the LF on the host, where it was loaded).
-        from lfbm5d_tpu.pipeline.adaptive import select_preset
+        from lfbm5d_tpu.pipeline.adaptive import (
+            denoise_region_adaptive,
+            select_preset,
+        )
 
-        def run_once():
-            name, _ = select_preset(noisy, args.sigma)
-            p = preset_denoise_params(name, args.sigma, chunk=128)
-            return name, run_bm5d(noisy_dev, p, engine=args.engine)
+        if args.preset == "adaptive-region":
+            # probe + (possibly) region compositing inside the timed loop:
+            # the official routed-content row once the content localizes a
+            # weak region (VERDICT r4 item 4 / round-4 item 2c)
+            def run_once():
+                basic, final, info = denoise_region_adaptive(
+                    noisy_dev, args.sigma, engine=args.engine
+                )
+                return info["mode"], (basic, final)
+        else:
+            def run_once():
+                name, _ = select_preset(noisy, args.sigma)
+                p = preset_denoise_params(name, args.sigma, chunk=128)
+                return name, run_bm5d(noisy_dev, p, engine=args.engine)
 
         t0 = time.time()
         selected, (basic, final) = run_once()
