@@ -209,11 +209,16 @@ def test_launched_execution_matches_single_program():
     p = params(sigma=25.0)
     import jax.numpy as jnp
 
-    b1, f1 = run_bm5d(noisy, p, engine="pallas")
-    b2, f2 = _run_bm5d_launched(jnp.asarray(noisy, jnp.float32), p,
-                                "float32", None)
-    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
+    # f64: the two paths are semantically identical (same BM decisions,
+    # same per-slot arithmetic); in f32 their different jit boundaries
+    # reassociate the cross-ref accumulations at ~3e-4 relative (seen when
+    # the round-5 r_cap change regrouped the ref blocks), which is float
+    # noise, not divergence — f64 pins the identity exactly.
+    b1, f1 = run_bm5d(noisy, p, dtype="float64", engine="pallas")
+    b2, f2 = _run_bm5d_launched(jnp.asarray(noisy, jnp.float64), p,
+                                "float64", None)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-9)
 
 
 @pytest.mark.slow
