@@ -70,8 +70,11 @@ def main():
     h, w = (192, 256) if args.small else (434, 625)
     mpix = 81 * h * w / 1e6
 
-    clean = synthetic_lf(9, 9, h, w, 3, disp_bg=args.disp[0],
-                         disp_fg=args.disp[1], seed=args.seed)
+    # synthetic_lf sizes its canvas from the disparities; keep whole-number
+    # CLI values int so the canvas dims stay int
+    disp = [int(d) if float(d).is_integer() else d for d in args.disp]
+    clean = synthetic_lf(9, 9, h, w, 3, disp_bg=disp[0],
+                         disp_fg=disp[1], seed=args.seed)
     noisy = add_noise_np(clean, 25.0, seed=args.seed + 1)
     clean_d = jax.device_put(clean.astype(np.float32))
     noisy_d = jax.device_put(noisy.astype(np.float32))
