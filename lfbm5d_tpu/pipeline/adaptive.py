@@ -146,9 +146,33 @@ def probe_maps(lf, sigma: float, block: int = 8) -> tuple[dict, dict]:
     return stats, {"weak": weak_map, "static": static_map}
 
 
+def _probe_source(lf):
+    """Host probe view of an LF: the two extreme-corner SAIs as a 2x1 grid.
+
+    probe_maps only reads lf[0, 0] and lf[-1, -1]; for DEVICE arrays,
+    np.asarray(lf) would pull the whole LF through the host tunnel
+    (~3 MB/s download on this machine: ~85 s at 9x9 flagship scale), so
+    fetch exactly those two SAIs, quantized (uint8: 4x fewer tunnel
+    bytes; sub-LSB rounding is invisible to 8x8 block-mean statistics at
+    sigma >= 5). Host arrays pass through untouched."""
+    if isinstance(lf, np.ndarray):
+        return lf
+    import jax
+    import jax.numpy as jnp
+
+    if not isinstance(lf, jax.Array):
+        return np.asarray(lf)
+    from lfbm5d_tpu.lf.io import fetch_rounded
+
+    return np.asarray(
+        fetch_rounded(jnp.stack([lf[0, 0], lf[-1, -1]]), 8), np.float64
+    )[:, None]
+
+
 def content_stats(lf, sigma: float, block: int = 8) -> dict:
-    """Probe stats only (see probe_maps)."""
-    return probe_maps(lf, sigma, block)[0]
+    """Probe stats only (see probe_maps; device LFs probe via corner-SAI
+    fetch, not a whole-LF download)."""
+    return probe_maps(_probe_source(lf), sigma, block)[0]
 
 
 def select_preset(lf, sigma: float) -> tuple[str, dict]:
@@ -282,21 +306,9 @@ def denoise_region_adaptive(noisy, sigma: float, *, engine: str = "auto",
     import jax.numpy as jnp
 
     h, w = int(noisy.shape[2]), int(noisy.shape[3])
-    if isinstance(noisy, np.ndarray):
-        probe_src = noisy
-    else:
-        # the probe reads the two extreme-corner SAIs; fetch only those from
-        # device LFs (a full-LF fetch costs seconds through the host tunnel)
-        # as a 2x1 angular grid — probe_maps reads [0, 0] and [aH-1, aW-1],
-        # which the stack maps to exactly the same pair. The fetch crosses
-        # quantized (uint8: 4x fewer tunnel bytes; sub-LSB rounding is
-        # invisible to 8x8 block-mean statistics at sigma >= 5).
-        from lfbm5d_tpu.lf.io import fetch_rounded
-
-        probe_src = np.asarray(fetch_rounded(
-            jnp.stack([noisy[0, 0], noisy[-1, -1]]), 8
-        ), np.float64)[:, None]
-    stats, maps = probe_maps(probe_src, sigma, block)
+    # device LFs probe via the quantized corner-SAI fetch (shared helper;
+    # a full-LF fetch costs ~85 s through this machine's 3 MB/s tunnel)
+    stats, maps = probe_maps(_probe_source(noisy), sigma, block)
     p_m = params_matched or preset_denoise_params("matched", sigma)
     p_r = params_robust or preset_denoise_params("robust", sigma)
 

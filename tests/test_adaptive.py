@@ -337,3 +337,31 @@ def test_cli_presets_track_config_presets():
         assert _PRESETS[name] == {
             _FIELD_TO_FLAG[f]: v for f, v in over.items()
         }
+
+
+def test_probe_source_device_array_matches_host():
+    """content_stats on a DEVICE array must fetch only the two corner SAIs
+    (quantized) instead of np.asarray(whole LF) — and the resulting stats
+    must match the host-array probe (sub-LSB quantization is invisible to
+    the 8x8 block-mean statistics)."""
+    import jax
+    import numpy as np
+
+    from lfbm5d_tpu.lf import synthetic_lf
+    from lfbm5d_tpu.lf.noise import add_noise_np
+    from lfbm5d_tpu.pipeline.adaptive import _probe_source, content_stats
+
+    clean = synthetic_lf(5, 5, 64, 80, channels=3, seed=3)
+    noisy = add_noise_np(clean, 25.0, seed=4)
+    dev = jax.device_put(noisy.astype(np.float32))
+
+    src = _probe_source(dev)
+    assert src.shape[:2] == (2, 1)  # corner pair as a 2x1 grid, not the LF
+    np.testing.assert_allclose(
+        src[0, 0], np.round(np.clip(noisy[0, 0], 0, 255)), atol=0.5
+    )
+
+    s_host = content_stats(noisy, 25.0)
+    s_dev = content_stats(dev, 25.0)
+    assert abs(s_host["weak_fraction"] - s_dev["weak_fraction"]) < 0.02
+    assert abs(s_host["static_fraction"] - s_dev["static_fraction"]) < 0.02
