@@ -82,22 +82,30 @@ def main():
         def sync(x):
             return float(psnr_device(jnp.clip(x, 0, 255), clean_d))
 
+        from lfbm5d_tpu.utils.timing import device_fence
+
+        def timed(fn, runs=2):
+            out = fn()
+            device_fence(out)  # compile+warm
+            ts = []
+            for _ in range(runs):
+                t0 = time.time()
+                out = fn()
+                device_fence(out)
+                ts.append(time.time() - t0)
+            return out, min(ts)
+
         for preset in ("matched", "robust"):
             # default chunk: keep rows comparable with content_family.py
             # and with denoise_region_adaptive's internal presets
             params = preset_denoise_params(preset, args.sigma)
-            sync(run_bm5d(lf, params)[1])  # compile+warm, SYNCED
-            t0 = time.time()
-            _, final = run_bm5d(lf, params)
-            q = sync(final)
-            rows[preset] = (round(q, 3), round(time.time() - t0, 2))
+            final, dt = timed(lambda p=params: run_bm5d(lf, p)[1])
+            rows[preset] = (round(sync(final), 3), round(dt, 2))
 
-        # region mode (probe + composite inside the timed window; warm once)
-        sync(denoise_region_adaptive(lf, args.sigma)[1])
-        t0 = time.time()
-        _, final, info = denoise_region_adaptive(lf, args.sigma)
-        q = sync(final)
-        rows["adaptive-region"] = (round(q, 3), round(time.time() - t0, 2))
+        # region mode (probe + composite inside the timed window)
+        final, dt = timed(lambda: denoise_region_adaptive(lf, args.sigma)[1])
+        _, _, info = denoise_region_adaptive(lf, args.sigma)
+        rows["adaptive-region"] = (round(sync(final), 3), round(dt, 2))
 
         print(json.dumps({
             "family": args.family, "seed": seed,
