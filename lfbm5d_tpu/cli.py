@@ -292,8 +292,17 @@ def cmd_sr(ns) -> int:
         print(f"error: cannot load light field from {ns.input!r}: {e}",
               file=sys.stderr)
         return 2
+    # unset schedule knobs take the preset's measured schedule
+    # (config.SR_SCHEDULES; explicit flags always win)
+    from lfbm5d_tpu.config import SR_SCHEDULES
+
+    sched = SR_SCHEDULES.get(ns.preset, SR_SCHEDULES["default"])
+    n_iter = ns.n_iter if ns.n_iter is not None else sched["n_iter"]
+    sigma_init = (ns.sigma_init if ns.sigma_init is not None
+                  else sched["sigma_init"])
+    ns.n_iter, ns.sigma_init = n_iter, sigma_init  # for the JSON report
     params = SRParams(
-        scale=ns.scale, n_iter=ns.n_iter, sigma_init=ns.sigma_init,
+        scale=ns.scale, n_iter=n_iter, sigma_init=sigma_init,
         sigma_final=ns.sigma_final, color_space=ns.color_space,
         lambda_3d=ns.lam, ht=_step_params(ns, "ht", 2500.0),
         wiener=_step_params(ns, "wien", 400.0), bp_gain=ns.bp_gain,
@@ -483,8 +492,13 @@ def main(argv=None) -> int:
     sr = sub.add_parser("sr", help="super-resolution (x2/x3/x4)")
     _common_io_args(sr)
     sr.add_argument("--scale", type=int, default=2, choices=[2, 3, 4])
-    sr.add_argument("--n-iter", type=int, default=10)
-    sr.add_argument("--sigma-init", type=float, default=12.0)
+    sr.add_argument("--n-iter", type=int, default=None,
+                    help="IBP iterations (default: the --preset's schedule, "
+                    "config.SR_SCHEDULES; reference-style 'default' = 10)")
+    sr.add_argument("--sigma-init", type=float, default=None,
+                    help="sigma schedule start (default: the --preset's "
+                    "schedule; 'default' = 12, 'matched' = 8 — the measured "
+                    "knee, BASELINE.md round-5 SR table)")
     sr.add_argument("--sigma-final", type=float, default=1.0)
     sr.add_argument("--bp-gain", type=float, default=1.0)
     sr.add_argument("--decimation-blur", type=float, default=0.0,

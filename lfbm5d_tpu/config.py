@@ -182,6 +182,21 @@ PRESETS: dict = {
 }
 
 
+# Named SR iteration schedules (n_iter, sigma_init; sigma_final stays 1.0).
+# Measured at the flagship x2 shape (experiments/sr_knee.py, BASELINE.md
+# round-5): with the matched step preset the quality knee is 5 iterations
+# from sigma_init=8 (31.599 dB vs 31.608 at 8 iters and 31.507 at 3;
+# sigma_init 12/16 are never better at equal iterations). The reference-
+# style schedule (10 iterations from sigma 12, SURVEY.md §2.10 SR) remains
+# the 'default' preset's schedule.
+SR_SCHEDULES: dict = {
+    "default": dict(n_iter=10, sigma_init=12.0),
+    "fast": dict(n_iter=3, sigma_init=8.0),
+    "matched": dict(n_iter=5, sigma_init=8.0),
+    "robust": dict(n_iter=5, sigma_init=12.0),
+}
+
+
 def preset_step_params(name: str, tau_match: float, **extra) -> StepParams:
     """StepParams for a named preset (tau_match: 2500.0 HT / 400.0 Wiener)."""
     over = dict(PRESETS[name])
