@@ -10,6 +10,14 @@ compilations of unchanged programs into a disk read.
 Opt-out via LFBM5D_NO_COMPILE_CACHE=1 (e.g. to measure true cold-compile
 times); override the location with LFBM5D_COMPILE_CACHE_DIR or
 JAX_COMPILATION_CACHE_DIR.
+
+Platform caveat, measured round 5 (BASELINE.md "Cold-start attribution"):
+on THIS machine's axon remote-compile backend the cache never engages for
+the big kernel programs — compilation happens inside the remote service,
+outside jax's local cache layer (a warmed 264-entry cache logs zero
+hit/miss events and fresh processes still queue 35-620 s). Keep the cache
+enabled anyway: it is correct and effective on standard host-attached
+TPUs, and it does serve the small host-side programs here.
 """
 
 from __future__ import annotations
