@@ -253,11 +253,15 @@ def build_kernel_step(
     # LFBM5D_R_CAP overrides every case (probe knob; the 17x17 launched
     # probes sweep it — bigger ref blocks amortize the per-block band
     # re-slicing that dominates launched banked execution).
-    # banked-fused default 32: the round-5 17x17 robust sweep measured
-    # 20.4 / 19.7 / 19.8 s/LF at caps 16/32/48 (BASELINE.md round-5).
+    # LAUNCHED banked-fused default 32: the round-5 17x17 robust sweep
+    # measured 20.4 / 19.7 / 19.8 s/LF at caps 16/32/48 (BASELINE.md
+    # round-5). The non-launched banked-fused tier (17x17 matched: one
+    # program) keeps 16 — the configuration its 0.727 s row was measured
+    # with.
     _r_cap_env = os.environ.get("LFBM5D_R_CAP")
     r_cap = int(_r_cap_env) if _r_cap_env else (
-        (32 if banks > 1 else 16) if fused else 8
+        (32 if (banks > 1 and launch_blocks is not None) else 16)
+        if fused else 8
     )
     r_batch, _best = 1, None
     for _rc in range(1, min(r_cap, n_refs) + 1):
